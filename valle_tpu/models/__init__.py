@@ -1,0 +1,83 @@
+"""Model factory.
+
+Parity: ref valle/models/__init__.py:18-136 (``add_model_arguments`` /
+``get_model``) — maps --model-name {VALL-E, VALL-F, Transformer} plus
+hyperparameter flags to a model instance.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from valle_tpu.models.config import ModelConfig
+from valle_tpu.models.valle import VALLE, VALLF
+from valle_tpu.models.transformer_tts import TransformerTTS
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("boolean value expected")
+
+
+def add_model_arguments(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--model-name", type=str, default="VALL-E")
+    parser.add_argument("--decoder-dim", type=int, default=1024)
+    parser.add_argument("--nhead", type=int, default=16)
+    parser.add_argument("--num-decoder-layers", type=int, default=12)
+    parser.add_argument("--scale-factor", type=float, default=1.0)
+    parser.add_argument("--norm-first", type=str2bool, default=True)
+    parser.add_argument("--add-prenet", type=str2bool, default=False)
+    parser.add_argument("--prefix-mode", type=int, default=0)
+    parser.add_argument("--share-embedding", type=str2bool, default=True)
+    parser.add_argument("--prepend-bos", type=str2bool, default=False)
+    parser.add_argument("--num-quantizers", type=int, default=8)
+    parser.add_argument("--scaling-xformers", type=str2bool, default=False)
+    parser.add_argument("--dtype", type=str, default="float32")
+    parser.add_argument("--attn-impl", type=str, default="xla")
+
+
+def config_from_args(args) -> ModelConfig:
+    return ModelConfig(
+        model_name=args.model_name,
+        decoder_dim=args.decoder_dim,
+        nhead=args.nhead,
+        num_layers=args.num_decoder_layers,
+        norm_first=args.norm_first,
+        add_prenet=args.add_prenet,
+        prefix_mode=args.prefix_mode,
+        share_embedding=args.share_embedding,
+        nar_scale_factor=args.scale_factor,
+        prepend_bos=args.prepend_bos,
+        num_quantizers=args.num_quantizers,
+        scaling_xformers=args.scaling_xformers,
+        dtype=getattr(args, "dtype", "float32"),
+        attn_impl=getattr(args, "attn_impl", "xla"),
+    )
+
+
+def get_model(cfg: ModelConfig):
+    name = cfg.model_name.lower()
+    if name == "vall-e" or name == "valle":
+        return VALLE(cfg)
+    if name == "vall-f" or name == "vallf":
+        return VALLF(cfg)
+    if name == "transformer":
+        return TransformerTTS(cfg)
+    raise ValueError(f"unknown model {cfg.model_name}")
+
+
+__all__ = [
+    "ModelConfig",
+    "VALLE",
+    "VALLF",
+    "TransformerTTS",
+    "get_model",
+    "add_model_arguments",
+    "config_from_args",
+    "str2bool",
+]

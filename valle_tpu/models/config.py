@@ -1,0 +1,70 @@
+"""Model configuration.
+
+Mirrors the reference CLI surface (ref valle/models/__init__.py:18-95):
+--model-name, --decoder-dim, --nhead, --num-decoder-layers, --norm-first,
+--add-prenet, --prefix-mode, --share-embedding, --scale-factor,
+--prepend-bos, --num-quantizers, --scaling-xformers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from valle_tpu import macros
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    model_name: str = "VALL-E"  # VALL-E | VALL-F | Transformer
+    decoder_dim: int = 1024
+    nhead: int = 16
+    num_layers: int = 12
+    norm_first: bool = True
+    add_prenet: bool = False
+    prefix_mode: int = 0  # 0,1,2,4 (ref models/valle.py:335-393)
+    share_embedding: bool = True
+    nar_scale_factor: float = 1.0
+    prepend_bos: bool = False
+    num_quantizers: int = 8
+    scaling_xformers: bool = False
+
+    num_text_tokens: int = macros.NUM_TEXT_TOKENS
+    num_audio_tokens: int = macros.NUM_AUDIO_TOKENS
+    num_mel_bins: int = macros.NUM_MEL_BINS
+
+    dropout: float = 0.1
+    max_len: int = 4096  # positional-table capacity
+    max_prefix_len: int = 225  # 3 s at 75 Hz (ref models/valle.py:350)
+
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    attn_impl: str = "xla"  # xla | flash
+
+    @property
+    def nar_decoder_dim(self) -> int:
+        return int(self.decoder_dim * self.nar_scale_factor)
+
+    @property
+    def nar_nhead(self) -> int:
+        return int(self.nhead * self.nar_scale_factor)
+
+    @property
+    def nar_num_layers(self) -> int:
+        return int(self.num_layers * self.nar_scale_factor)
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def eos_id(self) -> int:
+        return self.num_audio_tokens
+
+    @property
+    def bos_id(self) -> int:
+        return self.num_audio_tokens + 1
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,111 @@
+"""Multi-head attention with packed QKV and explicit KV-cache support.
+
+Behavioral parity with the reference's ``MultiheadAttention`` fork
+(ref valle/modules/activation.py:12-431): packed in-projection (q;k;v) with
+bias, output projection with bias, dropout on attention probabilities.  The
+reference has **no KV-cache** and recomputes full attention each decode step
+(ref models/valle.py:1012-1057); here decoding writes into a preallocated
+cache and attends with a masked single-query kernel — the TPU-native design.
+
+The actual attention contraction is routed through
+``valle_tpu.ops.attention_impl`` so the XLA einsum path and the Pallas
+flash-attention path are interchangeable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from valle_tpu.ops.attention_impl import dot_product_attention
+
+
+class MultiheadAttention(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"  # "xla" | "flash"
+
+    @nn.compact
+    def __call__(
+        self,
+        x_q: jnp.ndarray,
+        x_kv: Optional[jnp.ndarray] = None,
+        *,
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+        return_kv: bool = False,
+    ):
+        """Args:
+          x_q: (B, Tq, D) queries (pre-projection).
+          x_kv: (B, Tk, D) keys/values source; defaults to ``x_q`` (self-attn).
+          attn_bias: additive bias broadcastable to (B, H, Tq, Tk).
+          kv_cache: optional (k, v) of shape (B, Tmax, H, Dh); when given with
+            ``cache_index``, the freshly projected K/V (length Tq) are written
+            at that offset and attention runs over the full cache.
+          return_kv: also return the projected (k, v) for cache prefill.
+
+        Returns (out, new_cache_or_None, kv_or_None).
+        """
+        d, h = self.embed_dim, self.num_heads
+        dh = d // h
+        self_attention = x_kv is None
+        if self_attention:
+            x_kv = x_q
+
+        if self_attention:
+            qkv = nn.Dense(
+                3 * d, use_bias=self.bias, dtype=self.dtype, name="in_proj"
+            )(x_q)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            # Cross-attention keeps the same packed parameter layout as the
+            # reference (a single in_proj_weight) by slicing one Dense.
+            q = nn.Dense(d, use_bias=self.bias, dtype=self.dtype, name="q_proj")(x_q)
+            kv = nn.Dense(2 * d, use_bias=self.bias, dtype=self.dtype, name="kv_proj")(
+                x_kv
+            )
+            k, v = jnp.split(kv, 2, axis=-1)
+
+        b, tq = q.shape[0], q.shape[1]
+        tk = k.shape[1]
+        q = q.reshape(b, tq, h, dh)
+        k = k.reshape(b, tk, h, dh)
+        v = v.reshape(b, tk, h, dh)
+
+        new_cache = None
+        if kv_cache is not None:
+            ck, cv = kv_cache
+            idx = jnp.asarray(0 if cache_index is None else cache_index, jnp.int32)
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, idx, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, idx, 0, 0))
+            new_cache = (ck, cv)
+            k_att, v_att = ck, cv
+        else:
+            k_att, v_att = k, v
+
+        dropout_rng = None
+        if not deterministic and self.dropout > 0.0:
+            dropout_rng = self.make_rng("dropout")
+
+        out = dot_product_attention(
+            q,
+            k_att,
+            v_att,
+            bias=attn_bias,
+            dropout_rate=self.dropout,
+            dropout_rng=dropout_rng,
+            deterministic=deterministic,
+            impl=self.attn_impl,
+        )
+        out = out.reshape(b, tq, d)
+        out = nn.Dense(d, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
+        kv = (k, v) if return_kv else None
+        return out, new_cache, kv

@@ -1,0 +1,254 @@
+"""Transformer layers: prefix-LM encoder layer (GPT-style, used by VALL-E),
+decoder layer with cross-attention (used by VALL-F), adaptive layer norm for
+NAR stage conditioning, and the scanned layer stack.
+
+Parity targets:
+  - TransformerEncoderLayer / TransformerDecoderLayer
+    (ref valle/modules/transformer.py:178-334, 409-561): pre-/post-norm,
+    ReLU feed-forward d->4d->d, dropout placement.
+  - AdaptiveLayerNorm (ref modules/transformer.py:83-108):
+    ``weight, bias = split(Linear(stage_emb)); weight * LN(x) + bias`` with
+    the stage embedding threaded through every layer.
+
+TPU-first notes: the stack is a single ``nn.scan`` over a layer module —
+one compiled layer body, stacked parameters (L, ...), and the decode KV-cache
+carried as a scanned input with a leading layer axis, so the whole decoder is
+one fused XLA while-loop body during sampling.  Broadcast inputs (masks,
+memory, stage embedding) ride through ``nn.broadcast`` axes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from valle_tpu.nn.attention import MultiheadAttention
+
+
+class AdaptiveLayerNorm(nn.Module):
+    """weight * norm(x) + bias, with (weight, bias) projected from stage_emb."""
+
+    d_model: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, stage_emb: jnp.ndarray) -> jnp.ndarray:
+        wb = nn.Dense(2 * self.d_model, dtype=self.dtype, name="project_layer")(
+            stage_emb
+        )
+        weight, bias = jnp.split(wb, 2, axis=-1)
+        normed = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm")(x)
+        return weight * normed + bias
+
+
+class ConditionedNorm(nn.Module):
+    """LayerNorm, or AdaptiveLayerNorm when ``adaptive`` (NAR decoder)."""
+
+    d_model: int
+    adaptive: bool = False
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, stage_emb=None):
+        if self.adaptive:
+            return AdaptiveLayerNorm(self.d_model, self.eps, self.dtype, name="ada")(
+                x, stage_emb
+            )
+        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="ln")(x)
+
+
+class TransformerLayer(nn.Module):
+    """One decoder block.  ``cross_attention=True`` adds an encoder-memory
+    attention sub-block between self-attention and the FFN (VALL-F layout,
+    ref modules/transformer.py:409-561).
+
+    ``deterministic`` / ``return_kv`` are construction-time attributes because
+    the stack instantiates this module per call under ``nn.scan`` (which only
+    threads positional array inputs).
+    """
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    norm_first: bool = True
+    adaptive_norm: bool = False
+    cross_attention: bool = False
+    activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    deterministic: bool = True
+    return_kv: bool = False
+
+    def _act(self, x):
+        if self.activation == "relu":
+            return nn.relu(x)
+        if self.activation == "gelu":
+            return nn.gelu(x)
+        raise ValueError(self.activation)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv_cache,
+        stage_emb,
+        attn_bias,
+        memory,
+        memory_bias,
+        cache_index,
+    ):
+        deterministic = self.deterministic
+        # Under nn.scan a dummy per-layer scalar stands in for "no cache".
+        if not isinstance(kv_cache, tuple):
+            kv_cache = None
+        norm = partial(
+            ConditionedNorm,
+            self.d_model,
+            adaptive=self.adaptive_norm,
+            dtype=self.dtype,
+        )
+        sa = MultiheadAttention(
+            self.d_model,
+            self.nhead,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="self_attn",
+        )
+        drop = partial(nn.Dropout, rate=self.dropout)
+
+        def ff_block(h):
+            h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(h)
+            h = self._act(h)
+            h = drop(name="ff_drop")(h, deterministic=deterministic)
+            h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+            return drop(name="ff_out_drop")(h, deterministic=deterministic)
+
+        def sa_block(h):
+            out, new_cache, kv = sa(
+                h,
+                attn_bias=attn_bias,
+                deterministic=deterministic,
+                kv_cache=kv_cache,
+                cache_index=cache_index,
+                return_kv=self.return_kv,
+            )
+            out = drop(name="sa_drop")(out, deterministic=deterministic)
+            return out, new_cache, kv
+
+        def ca_block(h):
+            ca = MultiheadAttention(
+                self.d_model,
+                self.nhead,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name="cross_attn",
+            )
+            out, _, _ = ca(
+                h, memory, attn_bias=memory_bias, deterministic=deterministic
+            )
+            return drop(name="ca_drop")(out, deterministic=deterministic)
+
+        if self.norm_first:
+            h, new_cache, kv = sa_block(norm(name="norm1")(x, stage_emb))
+            x = x + h
+            if self.cross_attention:
+                x = x + ca_block(norm(name="norm_ca")(x, stage_emb))
+            x = x + ff_block(norm(name="norm2")(x, stage_emb))
+        else:
+            h, new_cache, kv = sa_block(x)
+            x = norm(name="norm1")(x + h, stage_emb)
+            if self.cross_attention:
+                x = norm(name="norm_ca")(x + ca_block(x), stage_emb)
+            x = norm(name="norm2")(x + ff_block(x), stage_emb)
+
+        # (carry, ys) structure for nn.scan.
+        return x, (new_cache, kv)
+
+
+class TransformerStack(nn.Module):
+    """N scanned TransformerLayers plus the optional final (adaptive) norm.
+
+    Parity: TransformerEncoder with return-tuple threading
+    (ref modules/transformer.py:337-407) and the final norm choice at
+    ref models/valle.py:141-152, 231-247.
+    """
+
+    num_layers: int
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    norm_first: bool = True
+    adaptive_norm: bool = False
+    cross_attention: bool = False
+    final_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv_cache=None,  # pytree with leading layer axis, or None
+        *,
+        stage_emb=None,
+        attn_bias=None,
+        memory=None,
+        memory_bias=None,
+        cache_index=None,
+        deterministic: bool = True,
+        return_kv: bool = False,
+    ):
+        scan = nn.scan(
+            TransformerLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(
+                0,
+                nn.broadcast,
+                nn.broadcast,
+                nn.broadcast,
+                nn.broadcast,
+                nn.broadcast,
+            ),
+            out_axes=0,
+            length=self.num_layers,
+            metadata_params={nn.meta.PARTITION_NAME: "layers"},
+        )
+        layer = scan(
+            d_model=self.d_model,
+            nhead=self.nhead,
+            dim_feedforward=self.dim_feedforward,
+            dropout=self.dropout,
+            norm_first=self.norm_first,
+            adaptive_norm=self.adaptive_norm,
+            cross_attention=self.cross_attention,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            deterministic=deterministic,
+            return_kv=return_kv,
+            name="layers",
+        )
+        if kv_cache is None:
+            # nn.scan requires a scanned input; feed a dummy per-layer zero.
+            kv_cache = jnp.zeros((self.num_layers,), dtype=jnp.int32)
+
+        x, (new_cache, kv) = layer(
+            x, kv_cache, stage_emb, attn_bias, memory, memory_bias, cache_index
+        )
+        if self.final_norm and self.norm_first:
+            x = ConditionedNorm(
+                self.d_model,
+                adaptive=self.adaptive_norm,
+                dtype=self.dtype,
+                name="final_norm",
+            )(x, stage_emb)
+        return x, new_cache, kv
