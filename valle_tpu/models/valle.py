@@ -588,6 +588,84 @@ class VALLE(nn.Module):
         }
         return loss, metrics
 
+    # ---------------------------------------------------------------- decode
+    # The methods below are the param-touching pieces of the compiled
+    # sampling loop; orchestration (while_loop, stop conditions, cache
+    # layout) lives in valle_tpu.sample.  The reference re-runs the full
+    # decoder per token with no cache (ref valle.py:1012-1057); here prefill
+    # writes a KV-cache once and each step attends over it.
+
+    def ar_prefill(
+        self,
+        x: jnp.ndarray,
+        audio_tokens: jnp.ndarray,
+        audio_positions: jnp.ndarray,
+        bias: jnp.ndarray,
+    ):
+        """Full forward over [text ; audio-prompt]; returns last-position
+        logits plus per-layer (k, v) of shape (L, B, Tpre, H, Dh)."""
+        x_emb = self._ar_text(x, True)
+        y_emb = self._ar_audio(audio_tokens, True, positions=audio_positions)
+        if self.variant == "valle":
+            seq = jnp.concatenate([x_emb, y_emb], axis=1)
+            dec, _, kv = self.ar_decoder(
+                seq, attn_bias=bias, deterministic=True, return_kv=True
+            )
+        else:
+            raise NotImplementedError("use vallf_* methods for VALL-F decode")
+        logits = self.ar_predict_layer(dec[:, -1])
+        return logits, kv
+
+    def ar_decode_step(
+        self,
+        tok: jnp.ndarray,
+        positions: jnp.ndarray,
+        kv_cache,
+        cache_index,
+        bias: jnp.ndarray,
+    ):
+        """One decode step: tok (B, 1) -> (logits (B, V+1), updated cache)."""
+        emb = self._ar_audio(tok, True, positions=positions)
+        dec, new_cache, _ = self.ar_decoder(
+            emb,
+            kv_cache,
+            attn_bias=bias,
+            cache_index=cache_index,
+            deterministic=True,
+        )
+        return self.ar_predict_layer(dec[:, 0]), new_cache
+
+    def nar_text_encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._nar_text(x, True)
+
+    def nar_embed0(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.nar_audio_embedding_0(tokens, deterministic=True)
+
+    def nar_embed_rest(self, j: int, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Embedding through stacked table j (codebook j+2), static j."""
+        return jnp.take(self.nar_audio_embeddings_rest[j], tokens, axis=0)
+
+    def nar_forward_stage(
+        self,
+        i: int,
+        y_emb: jnp.ndarray,
+        positions: jnp.ndarray,
+        x_emb: jnp.ndarray,
+        bias: jnp.ndarray,
+        gen_start: int,
+    ) -> jnp.ndarray:
+        """One NAR refinement pass for static stage index i (0..Q-2);
+        returns greedy samples over the generated region."""
+        stage_emb = self.nar_stage_embeddings[i][None]
+        y_pos = self._nar_audio_pos(y_emb, True, positions=positions)
+        xy = jnp.concatenate([x_emb, y_pos], axis=1)
+        dec, _, _ = self.nar_decoder(
+            xy, stage_emb=stage_emb, attn_bias=bias, deterministic=True
+        )
+        w = self._nar_predict_weights()[i]
+        logits = jnp.einsum("btd,dv->btv", dec[:, gen_start:], w.astype(dec.dtype))
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
 
 class VALLF(VALLE):
     variant: str = "vallf"

@@ -1,0 +1,269 @@
+"""Batched zero-shot generation: compiled AR sampling loop + NAR refinement.
+
+Reference semantics (ref /root/reference/valle/models/valle.py:961-1137):
+  - AR loop samples codebook-1 tokens with top-k/top-p/temperature until the
+    triple stop condition (argmax EOS | sampled EOS | length > 16x text len),
+    discarding the stopping sample (ref valle.py:1044-1057).
+  - 7 NAR passes greedily refine codebooks 2..8, accumulating embeddings of
+    prior-stage samples, with prompt embeddings folded in per prefix mode
+    (ref valle.py:1085-1134).
+
+TPU-native design: the AR loop is a ``lax.while_loop`` over a preallocated
+KV-cache (the reference recomputes full attention per token with a growing
+tensor).  Prompts are right-aligned in a fixed prompt region so every
+sequence's next-token slot is uniform across the batch, giving static cache
+writes; per-sequence audio positions keep positional-embedding parity.  The
+whole thing jits once per (S, P, max_new) bucket and runs for any batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from valle_tpu.ops import masks as mask_ops
+from valle_tpu.ops.sampling import topk_sampling
+
+
+def _right_align(tokens: jnp.ndarray, lens: jnp.ndarray, cap: int, bos_id=None):
+    """(B, P) tokens with per-seq lens -> (B, cap(+1 if bos)) right-aligned.
+
+    Returns (aligned_tokens, positions, valid) where positions are the
+    per-sequence audio positions (BOS at 0, code i at i+has_bos) and valid
+    marks real (non-filler) slots.
+    """
+    b, p = tokens.shape
+    has_bos = bos_id is not None
+    cap_total = cap + int(has_bos)
+    slot = jnp.arange(cap_total)[None, :]  # (1, cap_total)
+    shift = cap_total - lens[:, None] - int(has_bos)  # first real slot per seq
+    rel = slot - shift - int(has_bos)  # index into tokens; -1 = BOS slot
+    src = jnp.clip(rel, 0, max(p - 1, 0))
+    if p > 0:
+        vals = jnp.take_along_axis(tokens, src, axis=1)
+    else:
+        vals = jnp.zeros((b, cap_total), tokens.dtype)
+    if has_bos:
+        vals = jnp.where(rel == -1, jnp.asarray(bos_id, tokens.dtype), vals)
+        valid = rel >= -1
+    else:
+        valid = rel >= 0
+    vals = jnp.where(valid, vals, 0)
+    positions = jnp.clip(rel + int(has_bos), 0, None)
+    return vals, positions, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "top_k",
+        "top_p",
+        "temperature",
+        "max_new_tokens",
+    ),
+)
+def generate(
+    model,
+    variables,
+    rng: jax.Array,
+    x: jnp.ndarray,
+    x_lens: jnp.ndarray,
+    prompt_codes: jnp.ndarray,
+    prompt_lens: Optional[jnp.ndarray] = None,
+    *,
+    top_k: int = -100,
+    top_p: float = 1.0,
+    temperature: float = 1.0,
+    max_new_tokens: int = 1024,
+    nar_text: Optional[jnp.ndarray] = None,
+    nar_text_lens: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Batched zero-shot TTS generation.
+
+    Args:
+      x: (B, S) phoneme ids (enrolled + synthesis text for prefix modes 2/4).
+      prompt_codes: (B, P, Q) EnCodec codes of the acoustic prompt.
+      prompt_lens: (B,) valid prompt lengths (default: full P).
+      nar_text / nar_text_lens: text for the NAR passes when it differs from
+        ``x`` (prefix modes 2/4 drop the enrolled phonemes,
+        ref valle.py:1068-1079).
+
+    Returns {"codes": (B, max_new, Q) int32, "lengths": (B,) int32}.
+    """
+    cfg = model.cfg
+    b, s = x.shape
+    p = prompt_codes.shape[1]
+    q = cfg.num_quantizers
+    eos = cfg.eos_id
+    bos = int(cfg.prepend_bos)
+    if prompt_lens is None:
+        prompt_lens = jnp.full((b,), p, jnp.int32)
+    if nar_text is None:
+        nar_text, nar_text_lens = x, x_lens
+
+    x_mask = mask_ops.make_pad_mask(x_lens, s)
+
+    # ---------------- AR prefill over [text ; right-aligned prompt] ---------
+    prompt0 = prompt_codes[..., 0].astype(jnp.int32)
+    ar_tokens, ar_positions, ar_valid = _right_align(
+        prompt0, prompt_lens, p, bos_id=cfg.bos_id if bos else None
+    )
+    ppad = ar_tokens.shape[1]  # p + bos
+    tpre = s + ppad
+    struct = mask_ops.prefix_lm_attn_mask(s, ppad)
+    key_pad_pre = jnp.concatenate([x_mask, jnp.logical_not(ar_valid)], axis=1)
+    pre_bias = mask_ops.mask_to_bias(
+        mask_ops.merge_padding(struct, key_pad_pre), jnp.float32
+    )
+    last_logits, kv = model.apply(
+        variables,
+        x,
+        ar_tokens,
+        ar_positions,
+        pre_bias,
+        method="ar_prefill",
+    )
+    # kv: tuple of (k, v), each (L, B, Tpre, H, Dh)
+    k_pre, v_pre = kv
+    num_layers, _, _, h, dh = k_pre.shape
+    c = tpre + max_new_tokens
+    k_cache = jnp.zeros((num_layers, b, c, h, dh), k_pre.dtype)
+    v_cache = jnp.zeros_like(k_cache)
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_pre, (0, 0, 0, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_pre, (0, 0, 0, 0, 0))
+
+    key_valid = jnp.concatenate(
+        [jnp.logical_not(key_pad_pre), jnp.zeros((b, max_new_tokens), bool)],
+        axis=1,
+    )  # (B, C); generated slots validated by step index in the loop
+    slot_idx = jnp.arange(c)[None, :]
+
+    tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32)
+    state = (
+        k_cache,
+        v_cache,
+        last_logits,
+        tokens0,
+        jnp.zeros((), jnp.int32),  # t
+        jnp.zeros((b,), bool),  # finished
+        jnp.full((b,), max_new_tokens, jnp.int32),  # gen_len
+        rng,
+    )
+
+    def cond(state):
+        _, _, _, _, t, finished, _, _ = state
+        return jnp.logical_and(t < max_new_tokens, jnp.logical_not(jnp.all(finished)))
+
+    def body(state):
+        kc, vc, logits, tokens, t, finished, gen_len, key = state
+        key, sub = jax.random.split(key)
+        samples = topk_sampling(
+            sub, logits, top_k=top_k, top_p=top_p, temperature=temperature
+        )  # (B,)
+        argmax_eos = jnp.argmax(logits, axis=-1) == eos
+        # ref valle.py:1047: (y.shape[1] - prompts.shape[1]) > 16 * x_len,
+        # where y includes the BOS when prepend_bos is on.
+        too_long = (t + bos) > x_lens * 16
+        stop_now = jnp.logical_or(
+            jnp.logical_or(argmax_eos, samples == eos), too_long
+        )
+        newly = jnp.logical_and(stop_now, jnp.logical_not(finished))
+        gen_len = jnp.where(newly, t, gen_len)
+        finished = jnp.logical_or(finished, stop_now)
+
+        tok = jnp.where(finished, eos, samples).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, t))
+
+        positions = (prompt_lens + bos + t)[:, None]
+        step_valid = jnp.logical_or(
+            key_valid,
+            jnp.logical_and(slot_idx >= tpre, slot_idx <= tpre + t),
+        )
+        bias = mask_ops.mask_to_bias(
+            jnp.logical_not(step_valid)[:, None, None, :], jnp.float32
+        )
+        logits2, new_cache = model.apply(
+            variables,
+            tok[:, None],
+            positions,
+            (kc, vc),
+            tpre + t,
+            bias,
+            method="ar_decode_step",
+        )
+        return (
+            new_cache[0],
+            new_cache[1],
+            logits2,
+            tokens,
+            t + 1,
+            finished,
+            gen_len,
+            key,
+        )
+
+    _, _, _, tokens, _, _, gen_len, _ = jax.lax.while_loop(cond, body, state)
+
+    gen_valid = jnp.arange(max_new_tokens)[None, :] < gen_len[:, None]
+    tokens = jnp.where(gen_valid, tokens, 0)
+
+    if q == 1:
+        return {"codes": tokens[..., None], "lengths": gen_len}
+
+    # ------------------------------- NAR refinement -------------------------
+    sn = nar_text.shape[1]
+    nar_x_mask = mask_ops.make_pad_mask(nar_text_lens, sn)
+    x_emb = model.apply(variables, nar_text, method="nar_text_encode")
+
+    pr_tokens, pr_positions, pr_valid = _right_align(prompt0, prompt_lens, p)
+    gen_positions = prompt_lens[:, None] + jnp.arange(max_new_tokens)[None, :]
+    positions = jnp.concatenate([pr_positions, gen_positions], axis=1)
+    y_pad = jnp.concatenate(
+        [jnp.logical_not(pr_valid), jnp.logical_not(gen_valid)], axis=1
+    )
+    key_pad = jnp.concatenate([nar_x_mask, y_pad], axis=1)
+    bias = mask_ops.mask_to_bias(key_pad[:, None, None, :], jnp.float32)
+
+    y_all0 = jnp.concatenate([pr_tokens, tokens], axis=1)
+    y_emb = model.apply(variables, y_all0, method="nar_embed0")
+
+    def prompt_rest(j):
+        pc, _, _ = _right_align(
+            prompt_codes[..., j + 1].astype(jnp.int32), prompt_lens, p
+        )
+        emb = model.apply(variables, j, pc, method="nar_embed_rest")
+        return emb * pr_valid[..., None]
+
+    if cfg.prefix_mode != 0:
+        # fold all prompt codebooks in upfront (ref valle.py:1110-1113)
+        for j in range(q - 1):
+            y_emb = y_emb.at[:, :p].add(prompt_rest(j))
+
+    codes = [tokens]
+    for i in range(q - 1):
+        samples = model.apply(
+            variables,
+            i,
+            y_emb,
+            positions,
+            x_emb,
+            bias,
+            sn + p,
+            method="nar_forward_stage",
+        )
+        samples = jnp.where(gen_valid, samples, 0)
+        codes.append(samples)
+        if i < q - 2:
+            if cfg.prefix_mode == 0:
+                y_emb = y_emb.at[:, :p].add(prompt_rest(i))
+            gen_emb = model.apply(variables, i, samples, method="nar_embed_rest")
+            y_emb = y_emb.at[:, p:].add(gen_emb * gen_valid[..., None])
+
+    return {
+        "codes": jnp.stack(codes, axis=-1),
+        "lengths": gen_len,
+    }
