@@ -1,0 +1,80 @@
+"""Checkpoint manager: save/restore round-trip, best tracking, pruning,
+stage-switch resume semantics (ref trainer.py:383-416)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from valle_tpu.models import ModelConfig, VALLE
+from valle_tpu.optim import scaled_adam
+from valle_tpu.train.checkpoint import CheckpointManager
+from valle_tpu.train.step import init_train_state, make_train_step
+
+CFG = ModelConfig(decoder_dim=32, nhead=2, num_layers=1, num_quantizers=8)
+
+
+def _setup(train_stage=0):
+    model = VALLE(CFG)
+    tx = scaled_adam(learning_rate=0.02, clipping_scale=None)
+    rng = np.random.RandomState(0)
+    batch = {
+        "text_tokens": jnp.asarray(rng.randint(0, 512, (1, 2, 8)), jnp.int32),
+        "text_tokens_lens": jnp.full((1, 2), 8, jnp.int32),
+        "audio_features": jnp.asarray(rng.randint(0, 1024, (1, 2, 16, 8)), jnp.int32),
+        "audio_features_lens": jnp.full((1, 2), 16, jnp.int32),
+    }
+    state = init_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        jax.tree.map(lambda x: x[0], batch), train_stage=train_stage,
+    )
+    return model, tx, state, batch
+
+
+def test_roundtrip_and_best(tmp_path):
+    model, tx, state, batch = _setup()
+    step = make_train_step(model, tx, lambda s, e: 0.02)
+    state, m = step(state, batch, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32))
+
+    ckpt = CheckpointManager(tmp_path, keep_last_k=2)
+    ckpt.save_step(1, state, {"train_stage": 0, "train_loss": 5.0,
+                              "sampler_state": {"epoch": 0, "batches_consumed": 3}})
+    ckpt.save_step(2, state, {"train_stage": 0, "train_loss": 4.0})
+    ckpt.save_step(3, state, {"train_stage": 0, "train_loss": 6.0})
+    ckpt.save_step(4, state, {"train_stage": 0, "train_loss": 7.0})
+
+    assert ckpt.latest() == "checkpoint-4"
+    assert ckpt.best("train") == "checkpoint-2"
+    # pruning keeps last 2 + the best
+    names = {p.name for p in ckpt.dir.iterdir() if p.is_dir()}
+    assert "checkpoint-1" not in names
+    assert {"checkpoint-2", "checkpoint-3", "checkpoint-4"} <= names
+
+    _, tx2, template, _ = _setup()
+    restored, meta = ckpt.restore("checkpoint-4", template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage_switch_restore(tmp_path):
+    model, tx, state, batch = _setup(train_stage=1)
+    step = make_train_step(model, tx, lambda s, e: 0.02, train_stage=1)
+    state, _ = step(state, batch, jax.random.PRNGKey(1), jnp.zeros((), jnp.int32))
+    ckpt = CheckpointManager(tmp_path)
+    ckpt.save_epoch(2, state, {"train_stage": 1,
+                               "sampler_state": {"epoch": 2, "batches_consumed": 9}})
+
+    # resume into NAR stage: weights kept, optimizer/sampler state dropped
+    _, tx2, template, _ = _setup(train_stage=2)
+    restored, meta = ckpt.restore(
+        "epoch-2", template, tx=tx2, from_stage=1, to_stage=2
+    )
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert "sampler_state" not in meta
+    assert meta.get("stage_switched")
+    # opt state matches the NAR-trainable subtree
+    nar_keys = {k for k in state.params if k.startswith("nar_")}
+    opt_keys = set(restored.opt_state.delta.keys())
+    assert opt_keys == nar_keys

@@ -1,0 +1,125 @@
+"""Optimizer parity: our optax ScaledAdam/Eve vs the reference icefall ones.
+
+Runs both on identical parameters with identical gradient sequences and
+compares parameter trajectories step by step.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import tests.ref_utils  # noqa: F401  (registers shims)
+
+import jax
+import jax.numpy as jnp
+
+from valle_tpu.optim import eden_lr, eve, scaled_adam
+
+
+def _ref_scaled_adam(params, lr, clipping_scale):
+    from valle.modules.optim import ScaledAdam
+
+    names = [[n for n, _ in params]]
+    return ScaledAdam(
+        [p for _, p in params],
+        lr=lr,
+        clipping_scale=clipping_scale,
+        betas=(0.9, 0.95),
+        parameters_names=names,
+        show_dominant_parameters=False,
+    )
+
+
+@pytest.mark.parametrize("clipping_scale", [None, 2.0])
+def test_scaled_adam_parity(clipping_scale):
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    shapes = {"w": (16, 8), "b": (8,), "alpha": (1,)}
+    init = {k: rng.randn(*s).astype(np.float32) for k, s in shapes.items()}
+    grads_seq = [
+        {k: rng.randn(*s).astype(np.float32) * 0.1 for k, s in shapes.items()}
+        for _ in range(12)
+    ]
+    lr = 0.03
+
+    # reference
+    tparams = {k: torch.nn.Parameter(torch.tensor(v)) for k, v in init.items()}
+    opt = _ref_scaled_adam(list(tparams.items()), lr, clipping_scale)
+    for g in grads_seq:
+        for k, p in tparams.items():
+            p.grad = torch.tensor(g[k])
+        opt.step()
+        opt.zero_grad()
+
+    # ours
+    jparams = {k: jnp.asarray(v) for k, v in init.items()}
+    tx = scaled_adam(
+        learning_rate=lr, clipping_scale=clipping_scale, betas=(0.9, 0.95)
+    )
+    state = tx.init(jparams)
+
+    @jax.jit
+    def step(params, state, grads):
+        updates, state = tx.update(grads, state, params)
+        return jax.tree.map(lambda p, u: p + u, params, updates), state
+
+    for g in grads_seq:
+        jparams, state = step(jparams, state, {k: jnp.asarray(v) for k, v in g.items()})
+
+    for k in shapes:
+        np.testing.assert_allclose(
+            np.asarray(jparams[k]),
+            tparams[k].detach().numpy(),
+            rtol=2e-5,
+            atol=2e-6,
+            err_msg=f"param {k} diverged (clipping={clipping_scale})",
+        )
+
+
+def test_eve_parity():
+    from valle.modules.optim import Eve
+
+    rng = np.random.RandomState(1)
+    shapes = {"w": (12, 6), "s": (1,)}
+    init = {k: rng.randn(*s).astype(np.float32) for k, s in shapes.items()}
+    grads_seq = [
+        {k: rng.randn(*s).astype(np.float32) * 0.1 for k, s in shapes.items()}
+        for _ in range(8)
+    ]
+    tparams = {k: torch.nn.Parameter(torch.tensor(v)) for k, v in init.items()}
+    opt = Eve(list(tparams.values()), lr=1e-3)
+    for g in grads_seq:
+        for k, p in tparams.items():
+            p.grad = torch.tensor(g[k])
+        opt.step()
+        opt.zero_grad()
+
+    jparams = {k: jnp.asarray(v) for k, v in init.items()}
+    tx = eve(learning_rate=1e-3)
+    state = tx.init(jparams)
+    for g in grads_seq:
+        updates, state = tx.update(
+            {k: jnp.asarray(v) for k, v in g.items()}, state, jparams
+        )
+        jparams = jax.tree.map(lambda p, u: p + u, jparams, updates)
+
+    for k in shapes:
+        np.testing.assert_allclose(
+            np.asarray(jparams[k]), tparams[k].detach().numpy(), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_eden_schedule_parity():
+    import tests.ref_utils  # noqa: F401
+    from valle.modules.optim import Eden, ScaledAdam
+
+    p = torch.nn.Parameter(torch.zeros(4, 4))
+    opt = ScaledAdam([p], lr=0.05, parameters_names=[["p"]])
+    sch = Eden(opt, lr_batches=5000, lr_epochs=4, warmup_batches=500)
+    for epoch in range(3):
+        sch.step_epoch(epoch)
+        for b in range(5):
+            sch.step_batch()
+            ref_lr = sch.get_last_lr()[0]
+            ours = float(eden_lr(0.05, sch.batch, epoch, 5000, 4, 500))
+            assert ours == pytest.approx(ref_lr, rel=1e-6), (epoch, sch.batch)

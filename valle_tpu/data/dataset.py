@@ -1,0 +1,195 @@
+"""Batch assembly: manifest + sampler -> static-shape numpy batch dicts.
+
+Parity: ref /root/reference/valle/data/dataset.py:33-111
+(``SpeechSynthesisDataset``) — batches carry utt_id, text, audio codes
+(B, T, Q) with lens, text tokens with lens.  Plus the TtsDataModule loader
+surface (ref datamodule.py:62-421) collapsed into one loader class: bucketed
+sampling, prompt strategy for prefix mode 4, micro-batch grouping for grad
+accumulation, and worker-free deterministic iteration (XLA does the heavy
+lifting; host work here is gathers + pads).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from valle_tpu import macros
+from valle_tpu.data.bucketing import BucketSpec, DynamicBucketingSampler
+from valle_tpu.data.collation import TextTokenCollater
+from valle_tpu.data.input_strategies import NeighborPromptStrategy
+from valle_tpu.data.shards import Manifest
+
+
+class SpeechSynthesisDataset:
+    """Index-based access mirroring the reference dataset's output dict."""
+
+    def __init__(self, manifest: Manifest, collater: TextTokenCollater):
+        self.manifest = manifest
+        self.collater = collater
+
+    def __len__(self) -> int:
+        return len(self.manifest)
+
+    def batch(self, spec: BucketSpec, indices: List[int]) -> Dict:
+        recs = [self.manifest[i] for i in indices]
+        token_ids, token_lens = self.collater.index([r["tokens"] for r in recs])
+        b = len(indices)
+        s, t = spec.max_text_len, spec.max_audio_len
+        text = np.zeros((b, s), np.int32)
+        text[:, : token_ids.shape[1]] = token_ids[:, :s]
+        num_q = int(recs[0].get("num_quantizers") or 8)
+        codes = np.zeros((b, t, num_q), np.int32)
+        code_lens = np.zeros((b,), np.int32)
+        for k, i in enumerate(indices):
+            c = self.manifest.codes(i)
+            n = min(c.shape[0], t)
+            codes[k, :n] = c[:n]
+            code_lens[k] = n
+        return {
+            "utt_id": [r["id"] for r in recs],
+            "text": [r["text"] for r in recs],
+            "text_tokens": text,
+            "text_tokens_lens": np.minimum(token_lens, s).astype(np.int32),
+            "audio_features": codes,
+            "audio_features_lens": code_lens,
+        }
+
+
+class TtsDataLoader:
+    """Bucketed loader yielding train-step-ready batches.
+
+    Yields dicts with a leading micro-batch axis of size ``accum_steps``
+    (micro-batches drawn from the same bucket so shapes agree), matching the
+    reference's gradient-accumulation loop (ref trainer.py:675-696).
+    """
+
+    def __init__(
+        self,
+        manifest: Manifest,
+        collater: TextTokenCollater,
+        *,
+        max_duration: float = 40.0,
+        num_buckets: int = 10,
+        accum_steps: int = 1,
+        shuffle: bool = True,
+        seed: int = 42,
+        rank: int = 0,
+        world_size: int = 1,
+        dataset_name: Optional[str] = None,  # enables prefix-mode-4 prompts
+        min_duration: float = 0.0,
+        max_utt_duration: float = float("inf"),
+    ):
+        self.dataset = SpeechSynthesisDataset(manifest, collater)
+        self.manifest = manifest
+        self.accum = accum_steps
+        # duration filtering (ref trainer.py:832-846)
+        keep = [
+            i
+            for i, r in enumerate(manifest.records)
+            if min_duration <= r["duration"] <= max_utt_duration
+        ]
+        self.keep = keep
+        durations = [manifest.records[i]["duration"] for i in keep]
+        text_lens = [len(manifest.records[i]["tokens"]) + 2 for i in keep]
+        audio_lens = [
+            int(round(manifest.records[i]["duration"] * macros.AUDIO_FRAME_RATE))
+            for i in keep
+        ]
+        self.sampler = DynamicBucketingSampler(
+            durations,
+            text_lens,
+            audio_lens,
+            max_duration=max_duration,
+            num_buckets=num_buckets,
+            shuffle=shuffle,
+            seed=seed,
+            rank=rank,
+            world_size=world_size,
+        )
+        self.prompts = None
+        if dataset_name:
+            ids = [manifest.records[i]["id"] for i in keep]
+            self.prompts = NeighborPromptStrategy(dataset_name, ids)
+            self._codes_cache: Dict[str, np.ndarray] = {}
+        self.seed = seed
+
+    def set_epoch(self, epoch: int) -> None:
+        self.sampler.set_epoch(epoch)
+        self.epoch = epoch
+
+    def state_dict(self):
+        return self.sampler.state_dict()
+
+    def load_state_dict(self, state):
+        self.sampler.load_state_dict(state)
+
+    def _one(self, spec: BucketSpec, rel_indices: List[int]) -> Dict:
+        indices = [self.keep[i] for i in rel_indices]
+        return self.dataset.batch(spec, indices)
+
+    def _add_prompts(self, micros: List[Dict], rng) -> None:
+        """Prefix-mode-4 prompts with ONE shared length across the whole
+        accumulation group (the model derives prefix_len from the static
+        prompt shape, ref models/valle.py:429,797)."""
+        codes_of: Dict[str, np.ndarray] = {}
+        for m in micros:
+            for u in m["utt_id"]:
+                for n in self.prompts.utt2neighbors[u]:
+                    if n not in codes_of:
+                        codes_of[n] = self.manifest.codes(self._id_index(n))
+        chosen_per_micro = [
+            [rng.choice(self.prompts.utt2neighbors[u]) for u in m["utt_id"]]
+            for m in micros
+        ]
+        all_chosen = [c for row in chosen_per_micro for c in row]
+        p = min(
+            min(codes_of[c].shape[0] for c in all_chosen),
+            3 * macros.AUDIO_FRAME_RATE,
+        )
+        for m, chosen in zip(micros, chosen_per_micro):
+            prompts = []
+            for c in chosen:
+                codes = codes_of[c]
+                t = codes.shape[0]
+                start = rng.randint(0, t - p) if t > p else 0
+                prompts.append(codes[start : start + p])
+            m["prompt_codes"] = np.stack(prompts, axis=0).astype(np.int32)
+            m["prompt_codes_lens"] = np.full((len(chosen),), p, np.int32)
+
+    def _id_index(self, utt_id: str) -> int:
+        if not hasattr(self, "_id2idx"):
+            self._id2idx = {r["id"]: i for i, r in enumerate(self.manifest.records)}
+        return self._id2idx[utt_id]
+
+    def __iter__(self) -> Iterator[Dict]:
+        rng = random.Random(self.seed + getattr(self, "epoch", 0))
+        micro: List[Dict] = []
+        spec_of: Optional[BucketSpec] = None
+        for spec, rel in self.sampler:
+            if spec_of is not None and (
+                spec.max_text_len != spec_of.max_text_len
+                or spec.max_audio_len != spec_of.max_audio_len
+            ):
+                micro = []  # bucket changed mid-group: restart the group
+            spec_of = spec
+            micro.append(self._one(spec, rel))
+            if len(micro) == self.accum:
+                if self.prompts is not None:
+                    self._add_prompts(micro, rng)
+                yield self._stack(micro)
+                micro, spec_of = [], None
+        # drop ragged tail micro-group (shapes must agree)
+
+    @staticmethod
+    def _stack(micros: List[Dict]) -> Dict:
+        out: Dict = {}
+        b = min(m["text_tokens"].shape[0] for m in micros)
+        for k in micros[0]:
+            if k in ("utt_id", "text"):
+                out[k] = [m[k][:b] for m in micros]
+            else:
+                out[k] = np.stack([m[k][:b] for m in micros], axis=0)
+        return out

@@ -1,0 +1,83 @@
+"""Device mesh construction and sharding rules.
+
+The reference's only parallelism is single-node DDP over NCCL
+(ref /root/reference/valle/bin/trainer.py:913-915,1152).  Here the equivalent
+is a ``jax.sharding.Mesh`` with a ``data`` axis (batch sharding; GSPMD emits
+the gradient all-reduce over ICI) and a reserved ``model`` axis for tensor
+sharding past one chip.  Multi-host init is ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, (data, model, n)
+    if data * model == n and model == 1:
+        arr = np.asarray(devices).reshape(data, model)
+    else:
+        arr = mesh_utils.create_device_mesh((data, model), devices=devices)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays sharded over the data axis (leading dim)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_shardings(params, mesh: Mesh):
+    """Tensor-parallel layout over the 'model' axis (GSPMD).
+
+    Megatron-style: QKV/FFN-in kernels column-sharded, out-proj/FFN-out
+    row-sharded, embeddings sharded on the feature dim, everything else
+    replicated.  With model=1 this degenerates to pure DP.
+    """
+
+    def spec_for(path, leaf) -> P:
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        joined = "/".join(str(n) for n in names)
+        nd = leaf.ndim
+        if "in_proj" in joined or "linear1" in joined or "kv_proj" in joined or "q_proj" in joined:
+            if names[-1] == "kernel":
+                return P(*([None] * (nd - 1) + ["model"]))
+        if "out_proj" in joined or "linear2" in joined:
+            if names[-1] == "kernel":
+                return P(*([None] * (nd - 2) + ["model", None]))
+        if names[-1] == "embedding" or "embeddings_rest" in joined:
+            return P(*([None] * (nd - 1) + ["model"]))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params
+    )
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: int = 0) -> dict:
+    """Device-put a host batch dict with dim ``axis`` over 'data'
+    (axis=1 for train batches whose leading dim is the micro-batch axis)."""
+
+    def put(a):
+        spec = [None] * a.ndim
+        spec[axis] = "data"
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(put, batch)

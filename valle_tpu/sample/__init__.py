@@ -64,6 +64,7 @@ def _right_align(tokens: jnp.ndarray, lens: jnp.ndarray, cap: int, bos_id=None):
         "top_p",
         "temperature",
         "max_new_tokens",
+        "forbid_eos",
     ),
 )
 def generate(
@@ -79,6 +80,7 @@ def generate(
     top_p: float = 1.0,
     temperature: float = 1.0,
     max_new_tokens: int = 1024,
+    forbid_eos: bool = False,
     nar_text: Optional[jnp.ndarray] = None,
     nar_text_lens: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
@@ -161,6 +163,9 @@ def generate(
     def body(state):
         kc, vc, logits, tokens, t, finished, gen_len, key = state
         key, sub = jax.random.split(key)
+        if forbid_eos:
+            # benchmark / min-length mode: EOS can never be sampled or win
+            logits = logits.at[:, eos].set(-1e9)
         samples = topk_sampling(
             sub, logits, top_k=top_k, top_p=top_p, temperature=temperature
         )  # (B,)
