@@ -1,0 +1,105 @@
+"""Offline dataset tokenization: wavs + transcripts -> phoneme tokens +
+EnCodec codes + symbol table.
+
+Parity: ref /root/reference/valle/bin/tokenizer.py — phonemize transcripts
+into ``tokens``, EnCodec-encode audio into (T, 8) code arrays stored in
+shards, emit ``unique_text_tokens.k2symbols`` (ref :247-254).  Input here is
+a simple TSV manifest (utt_id\twav_path\ttext) or a directory layout, instead
+of lhotse cut manifests; audio encoding runs batched on the accelerator
+(ref GPU batch path :198-206).
+
+Run: python -m valle_tpu.bin.tokenize_dataset --tsv train.tsv \
+        --output-dir data/tokenized --split train --codec-checkpoint codec.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from valle_tpu import macros
+from valle_tpu.data import (
+    CodeShardWriter,
+    Manifest,
+    SymbolTable,
+    convert_audio,
+    read_wav,
+)
+from valle_tpu.data.text_tokenizer import TextTokenizer, tokenize_text
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tsv", type=Path, required=True,
+                   help="utt_id\\twav_path\\ttext per line")
+    p.add_argument("--output-dir", type=Path, required=True)
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--codec-checkpoint", type=str, required=True)
+    p.add_argument("--text-extractor", type=str, default="espeak")
+    p.add_argument("--batch-frames", type=int, default=8,
+                   help="wavs encoded per device batch (padded to max len)")
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    logging.basicConfig(level=logging.INFO, force=True)
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+
+    from valle_tpu.bin.infer import load_codec
+
+    codec = load_codec(args.codec_checkpoint)
+    tokenizer = TextTokenizer(backend=args.text_extractor)
+
+    rows = []
+    for line in args.tsv.read_text().strip().split("\n"):
+        utt_id, wav_path, text = line.split("\t", 2)
+        rows.append((utt_id, wav_path, text))
+    logging.info(f"{len(rows)} utterances")
+
+    symbols = SymbolTable()
+    records = []
+    with CodeShardWriter(args.output_dir, prefix=f"codes_{args.split}") as w:
+        for i in range(0, len(rows), args.batch_frames):
+            chunk = rows[i : i + args.batch_frames]
+            wavs = []
+            for _, wav_path, _ in chunk:
+                wav, sr = read_wav(wav_path)
+                wavs.append(
+                    convert_audio(wav, sr, codec.sample_rate, codec.channels)[0]
+                )
+            tmax = max(w_.shape[-1] for w_ in wavs)
+            batch = np.zeros((len(chunk), 1, tmax), np.float32)
+            for k, w_ in enumerate(wavs):
+                batch[k, 0, : w_.shape[-1]] = w_
+            codes = np.asarray(codec.encode(batch))  # (B, T', Q)
+            for k, (utt_id, _, text) in enumerate(chunk):
+                n_frames = int(np.ceil(wavs[k].shape[-1] / macros.AUDIO_HOP))
+                c = codes[k, :n_frames]
+                shard = w.write(utt_id, c)
+                tokens = tokenize_text(tokenizer, text)
+                for s in tokens:
+                    symbols.add(s)
+                records.append(
+                    {
+                        "id": utt_id,
+                        "text": text,
+                        "tokens": tokens,
+                        "duration": wavs[k].shape[-1] / codec.sample_rate,
+                        "shard": shard,
+                        "key": utt_id,
+                    }
+                )
+            if (i // args.batch_frames) % 50 == 0:
+                logging.info(f"{i + len(chunk)}/{len(rows)}")
+
+    Manifest.save(iter(records), args.output_dir / f"manifest_{args.split}.jsonl.gz")
+    symbols.to_file(args.output_dir / "unique_text_tokens.k2symbols")
+    logging.info(f"wrote manifest + symbols to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()
