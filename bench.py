@@ -27,7 +27,7 @@ def main():
     model = VALLE(cfg)
     rng = jax.random.PRNGKey(0)
 
-    batch, s, p, max_new = 32, 64, 225, 512
+    batch, s, p, max_new = 128, 64, 225, 512
 
     x = jax.random.randint(rng, (batch, s), 0, cfg.num_text_tokens)
     x_lens = jnp.full((batch,), s, jnp.int32)
@@ -52,17 +52,19 @@ def main():
             forbid_eos=True,  # measure full-length decode (no lucky EOS)
         )
 
-    # compile + warmup
+    import numpy as np
+
+    # compile + warmup; NOTE: host transfer (np.asarray) is the sync point —
+    # block_until_ready returns early through the axon tunnel.
     out = run(jax.random.PRNGKey(1))
-    jax.block_until_ready(out["codes"])
+    _ = np.asarray(out["codes"])
 
     t0 = time.perf_counter()
     iters = 3
     total_tokens = 0
     for i in range(iters):
         out = run(jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(out["codes"])
-        total_tokens += int(jnp.sum(out["lengths"]))
+        total_tokens += int(np.asarray(out["lengths"]).sum())
     dt = time.perf_counter() - t0
 
     audio_seconds = total_tokens / macros.AUDIO_FRAME_RATE

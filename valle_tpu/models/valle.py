@@ -601,9 +601,14 @@ class VALLE(nn.Module):
         audio_tokens: jnp.ndarray,
         audio_positions: jnp.ndarray,
         bias: jnp.ndarray,
+        memory_bias: Optional[jnp.ndarray] = None,
     ):
-        """Full forward over [text ; audio-prompt]; returns last-position
-        logits plus per-layer (k, v) of shape (L, B, Tpre, H, Dh)."""
+        """Prefill pass; returns (last-position logits, per-layer (k, v) of
+        shape (L, B, Tpre, H, Dh), memory-or-None).
+
+        VALL-E: full forward over [text ; audio-prompt] with the prefix-LM
+        mask.  VALL-F: causal self-attention over the audio prompt with
+        cross-attention into the text memory (ref valle.py:608-651)."""
         x_emb = self._ar_text(x, True)
         y_emb = self._ar_audio(audio_tokens, True, positions=audio_positions)
         if self.variant == "valle":
@@ -611,10 +616,19 @@ class VALLE(nn.Module):
             dec, _, kv = self.ar_decoder(
                 seq, attn_bias=bias, deterministic=True, return_kv=True
             )
+            memory = None
         else:
-            raise NotImplementedError("use vallf_* methods for VALL-F decode")
+            dec, _, kv = self.ar_decoder(
+                y_emb,
+                attn_bias=bias,
+                memory=x_emb,
+                memory_bias=memory_bias,
+                deterministic=True,
+                return_kv=True,
+            )
+            memory = x_emb
         logits = self.ar_predict_layer(dec[:, -1])
-        return logits, kv
+        return logits, kv, memory
 
     def ar_decode_step(
         self,
@@ -623,6 +637,8 @@ class VALLE(nn.Module):
         kv_cache,
         cache_index,
         bias: jnp.ndarray,
+        memory: Optional[jnp.ndarray] = None,
+        memory_bias: Optional[jnp.ndarray] = None,
     ):
         """One decode step: tok (B, 1) -> (logits (B, V+1), updated cache)."""
         emb = self._ar_audio(tok, True, positions=positions)
@@ -630,6 +646,8 @@ class VALLE(nn.Module):
             emb,
             kv_cache,
             attn_bias=bias,
+            memory=memory,
+            memory_bias=memory_bias,
             cache_index=cache_index,
             deterministic=True,
         )
@@ -653,15 +671,26 @@ class VALLE(nn.Module):
         x_emb: jnp.ndarray,
         bias: jnp.ndarray,
         gen_start: int,
+        memory_bias: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """One NAR refinement pass for static stage index i (0..Q-2);
         returns greedy samples over the generated region."""
         stage_emb = self.nar_stage_embeddings[i][None]
         y_pos = self._nar_audio_pos(y_emb, True, positions=positions)
-        xy = jnp.concatenate([x_emb, y_pos], axis=1)
-        dec, _, _ = self.nar_decoder(
-            xy, stage_emb=stage_emb, attn_bias=bias, deterministic=True
-        )
+        if self.variant == "valle":
+            xy = jnp.concatenate([x_emb, y_pos], axis=1)
+            dec, _, _ = self.nar_decoder(
+                xy, stage_emb=stage_emb, attn_bias=bias, deterministic=True
+            )
+        else:
+            dec, _, _ = self.nar_decoder(
+                y_pos,
+                stage_emb=stage_emb,
+                attn_bias=bias,
+                memory=x_emb,
+                memory_bias=memory_bias,
+                deterministic=True,
+            )
         w = self._nar_predict_weights()[i]
         logits = jnp.einsum("btd,dv->btv", dec[:, gen_start:], w.astype(dec.dtype))
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)

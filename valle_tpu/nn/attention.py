@@ -81,7 +81,25 @@ class MultiheadAttention(nn.Module):
         v = v.reshape(b, tk, h, dh)
 
         new_cache = None
-        if kv_cache is not None:
+        if kv_cache is not None and len(kv_cache) == 3:
+            # Stacked-cache decode: (kc, vc, layer_idx) with kc/vc of shape
+            # (L, B, C, H, Dh).  Only the current token's K/V is written (a
+            # tiny dynamic_update_slice), so the cache buffers update
+            # in place inside scan/while carries instead of being copied
+            # wholesale every step.
+            kc, vc, li = kv_cache
+            idx = jnp.asarray(0 if cache_index is None else cache_index, jnp.int32)
+            li = jnp.asarray(li, jnp.int32)
+            kc = jax.lax.dynamic_update_slice(
+                kc, k.astype(kc.dtype)[None], (li, 0, idx, 0, 0)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                vc, v.astype(vc.dtype)[None], (li, 0, idx, 0, 0)
+            )
+            new_cache = (kc, vc)
+            k_att = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
+            v_att = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
+        elif kv_cache is not None:
             ck, cv = kv_cache
             idx = jnp.asarray(0 if cache_index is None else cache_index, jnp.int32)
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, idx, 0, 0))

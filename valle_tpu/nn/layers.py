@@ -95,7 +95,7 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
+        carry,
         kv_cache,
         stage_emb,
         attn_bias,
@@ -104,9 +104,17 @@ class TransformerLayer(nn.Module):
         cache_index,
     ):
         deterministic = self.deterministic
-        # Under nn.scan a dummy per-layer scalar stands in for "no cache".
-        if not isinstance(kv_cache, tuple):
-            kv_cache = None
+        carry_cache = isinstance(carry, tuple)
+        if carry_cache:
+            # Decode mode: the whole stacked cache rides in the scan CARRY so
+            # XLA updates it in place; the scanned input is this layer's index.
+            x, kc, vc = carry
+            kv_cache = (kc, vc, kv_cache)
+        else:
+            x = carry
+            # Under nn.scan a dummy per-layer scalar stands in for "no cache".
+            if not isinstance(kv_cache, tuple):
+                kv_cache = None
         norm = partial(
             ConditionedNorm,
             self.d_model,
@@ -170,6 +178,8 @@ class TransformerLayer(nn.Module):
             x = norm(name="norm2")(x + ff_block(x), stage_emb)
 
         # (carry, ys) structure for nn.scan.
+        if carry_cache:
+            return (x, new_cache[0], new_cache[1]), None
         return x, (new_cache, kv)
 
 
@@ -237,13 +247,27 @@ class TransformerStack(nn.Module):
             return_kv=return_kv,
             name="layers",
         )
-        if kv_cache is None:
-            # nn.scan requires a scanned input; feed a dummy per-layer zero.
-            kv_cache = jnp.zeros((self.num_layers,), dtype=jnp.int32)
-
-        x, (new_cache, kv) = layer(
-            x, kv_cache, stage_emb, attn_bias, memory, memory_bias, cache_index
-        )
+        if kv_cache is not None and getattr(kv_cache[0], "ndim", 0) == 5:
+            # Decode: stacked (L, B, C, H, Dh) cache in the carry; layers
+            # consume their index as the scanned input.
+            kc, vc = kv_cache
+            (x, kc, vc), _ = layer(
+                (x, kc, vc),
+                jnp.arange(self.num_layers, dtype=jnp.int32),
+                stage_emb,
+                attn_bias,
+                memory,
+                memory_bias,
+                cache_index,
+            )
+            new_cache, kv = (kc, vc), None
+        else:
+            if kv_cache is None:
+                # nn.scan requires a scanned input; feed a dummy per-layer zero.
+                kv_cache = jnp.zeros((self.num_layers,), dtype=jnp.int32)
+            x, (new_cache, kv) = layer(
+                x, kv_cache, stage_emb, attn_bias, memory, memory_bias, cache_index
+            )
         if self.final_norm and self.norm_first:
             x = ConditionedNorm(
                 self.d_model,

@@ -108,6 +108,8 @@ def generate(
         nar_text, nar_text_lens = x, x_lens
 
     x_mask = mask_ops.make_pad_mask(x_lens, s)
+    is_vallf = model.variant == "vallf"
+    mem_bias = mask_ops.mask_to_bias(x_mask[:, None, None, :], jnp.float32)
 
     # ---------------- AR prefill over [text ; right-aligned prompt] ---------
     prompt0 = prompt_codes[..., 0].astype(jnp.int32)
@@ -115,18 +117,25 @@ def generate(
         prompt0, prompt_lens, p, bos_id=cfg.bos_id if bos else None
     )
     ppad = ar_tokens.shape[1]  # p + bos
-    tpre = s + ppad
-    struct = mask_ops.prefix_lm_attn_mask(s, ppad)
-    key_pad_pre = jnp.concatenate([x_mask, jnp.logical_not(ar_valid)], axis=1)
+    if is_vallf:
+        # VALL-F caches only the audio side; text is cross-attn memory.
+        tpre = ppad
+        struct = mask_ops.causal_mask(ppad)
+        key_pad_pre = jnp.logical_not(ar_valid)
+    else:
+        tpre = s + ppad
+        struct = mask_ops.prefix_lm_attn_mask(s, ppad)
+        key_pad_pre = jnp.concatenate([x_mask, jnp.logical_not(ar_valid)], axis=1)
     pre_bias = mask_ops.mask_to_bias(
         mask_ops.merge_padding(struct, key_pad_pre), jnp.float32
     )
-    last_logits, kv = model.apply(
+    last_logits, kv, memory = model.apply(
         variables,
         x,
         ar_tokens,
         ar_positions,
         pre_bias,
+        mem_bias,
         method="ar_prefill",
     )
     # kv: tuple of (k, v), each (L, B, Tpre, H, Dh)
@@ -198,6 +207,8 @@ def generate(
             (kc, vc),
             tpre + t,
             bias,
+            memory,
+            mem_bias,
             method="ar_decode_step",
         )
         return (
@@ -230,8 +241,14 @@ def generate(
     y_pad = jnp.concatenate(
         [jnp.logical_not(pr_valid), jnp.logical_not(gen_valid)], axis=1
     )
-    key_pad = jnp.concatenate([nar_x_mask, y_pad], axis=1)
-    bias = mask_ops.mask_to_bias(key_pad[:, None, None, :], jnp.float32)
+    nar_mem_bias = mask_ops.mask_to_bias(nar_x_mask[:, None, None, :], jnp.float32)
+    if is_vallf:
+        bias = mask_ops.mask_to_bias(y_pad[:, None, None, :], jnp.float32)
+        gen_start = p
+    else:
+        key_pad = jnp.concatenate([nar_x_mask, y_pad], axis=1)
+        bias = mask_ops.mask_to_bias(key_pad[:, None, None, :], jnp.float32)
+        gen_start = sn + p
 
     y_all0 = jnp.concatenate([pr_tokens, tokens], axis=1)
     y_emb = model.apply(variables, y_all0, method="nar_embed0")
@@ -257,7 +274,8 @@ def generate(
             positions,
             x_emb,
             bias,
-            sn + p,
+            gen_start,
+            nar_mem_bias,
             method="nar_forward_stage",
         )
         samples = jnp.where(gen_valid, samples, 0)
@@ -271,4 +289,85 @@ def generate(
     return {
         "codes": jnp.stack(codes, axis=-1),
         "lengths": gen_len,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def continual(
+    model,
+    variables,
+    x: jnp.ndarray,
+    x_lens: jnp.ndarray,
+    y: jnp.ndarray,
+    y_lens: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Continual task (ref valle.py:1139-1238): keep codebook 1 of the given
+    codes; use the first min(T/2, 3 s) as the acoustic prompt and re-generate
+    codebooks 2..8 for the remainder with the NAR decoder (greedy)."""
+    cfg = model.cfg
+    b, t, q = y.shape
+    if y_lens is None:
+        y_lens = jnp.full((b,), t, jnp.int32)
+    prefix_len = min(int(t * 0.5), 3 * 75)  # static (ref valle.py:1173)
+
+    s = x.shape[1]
+    x_mask = mask_ops.make_pad_mask(x_lens, s)
+    x_emb = model.apply(variables, x, method="nar_text_encode")
+    is_vallf = model.variant == "vallf"
+
+    y0 = y[..., 0].astype(jnp.int32)
+    y_emb = model.apply(variables, y0, method="nar_embed0")
+    y_mask = mask_ops.make_pad_mask(y_lens, t)
+    nar_mem_bias = mask_ops.mask_to_bias(x_mask[:, None, None, :], jnp.float32)
+    if is_vallf:
+        bias = mask_ops.mask_to_bias(y_mask[:, None, None, :], jnp.float32)
+        gen_start = prefix_len
+    else:
+        key_pad = jnp.concatenate([x_mask, y_mask], axis=1)
+        bias = mask_ops.mask_to_bias(key_pad[:, None, None, :], jnp.float32)
+        gen_start = s + prefix_len
+
+    positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    prefix_sel = (jnp.arange(t) < prefix_len)[None, :, None]
+
+    def add_prompt(i):
+        emb = model.apply(
+            variables, i, y[:, :, i + 1].astype(jnp.int32), method="nar_embed_rest"
+        )
+        return emb * prefix_sel
+
+    if cfg.prefix_mode != 0:
+        acc = y_emb
+        for j in range(q - 1):
+            acc = acc + add_prompt(j)
+        y_emb = acc
+
+    codes = [jnp.where(jnp.arange(t)[None, prefix_len:] < y_lens[:, None], y0[:, prefix_len:], 0)]
+    gen_sel = (jnp.arange(t) >= prefix_len)[None, :, None]
+    for i in range(q - 1):
+        samples = model.apply(
+            variables,
+            i,
+            y_emb,
+            positions,
+            x_emb,
+            bias,
+            gen_start,
+            nar_mem_bias,
+            method="nar_forward_stage",
+        )
+        codes.append(samples)
+        if i < q - 2:
+            if cfg.prefix_mode == 0:
+                y_emb = y_emb + add_prompt(i)
+            gen_emb = model.apply(
+                variables,
+                i,
+                jnp.pad(samples, ((0, 0), (prefix_len, 0))),
+                method="nar_embed_rest",
+            )
+            y_emb = y_emb + gen_emb * gen_sel
+    return {
+        "codes": jnp.stack(codes, axis=-1),
+        "lengths": jnp.maximum(y_lens - prefix_len, 0),
     }
