@@ -27,50 +27,54 @@ class TransformerTTS(nn.Module):
         cfg = self.cfg
         d = cfg.decoder_dim
         dt = cfg.compute_dtype
+        sx = cfg.scaling_xformers
+        # scaling_xformers variant (ref transformer.py:74-131): ScaledLinear
+        # projections (output scale 0.01), BalancedDoubleSwish activation,
+        # IdentityNorm/BalancedBasicNorm layout.
+        stack_kw = dict(
+            num_layers=cfg.num_layers,
+            d_model=d,
+            nhead=cfg.nhead,
+            dim_feedforward=d * 4,
+            dropout=cfg.dropout,
+            norm_first=cfg.norm_first,
+            final_norm=cfg.norm_first,
+            activation="balanced_double_swish" if sx else "relu",
+            norm_type="identity" if sx else "layer",
+            out_init_scale=0.01 if sx else 1.0,
+            dtype=dt,
+            attn_impl=cfg.attn_impl,
+        )
         self.text_embedding = TokenEmbedding(d, cfg.num_text_tokens)
         self.text_position = SinePositionalEmbedding(
             d, dropout=0.1, scale=False, alpha=True, max_len=cfg.max_len
         )
-        self.encoder = TransformerStack(
-            num_layers=cfg.num_layers,
-            d_model=d,
-            nhead=cfg.nhead,
-            dim_feedforward=d * 4,
-            dropout=cfg.dropout,
-            norm_first=cfg.norm_first,
-            final_norm=cfg.norm_first,
-            dtype=dt,
-            attn_impl=cfg.attn_impl,
-        )
-        # mel prenet: 256-dim bottleneck (ref transformer.py:188-210)
-        self.decoder_prenet_fc1 = nn.Dense(256, dtype=dt)
-        self.decoder_prenet_fc2 = nn.Dense(256, dtype=dt)
-        self.decoder_prenet_fc3 = nn.Dense(d, dtype=dt)
+        self.encoder = TransformerStack(**stack_kw)
+        if sx:
+            # single ScaledLinear mel projection (ref transformer.py:60-63)
+            self.decoder_prenet_fc = nn.Dense(d, dtype=dt)
+        else:
+            # mel prenet: 256-dim bottleneck (ref transformer.py:188-210)
+            self.decoder_prenet_fc1 = nn.Dense(256, dtype=dt)
+            self.decoder_prenet_fc2 = nn.Dense(256, dtype=dt)
+            self.decoder_prenet_fc3 = nn.Dense(d, dtype=dt)
+            self.prenet_dropout = nn.Dropout(0.5)
         self.decoder_position = SinePositionalEmbedding(
             d, dropout=0.1, scale=False, alpha=True, max_len=cfg.max_len
         )
-        self.decoder = TransformerStack(
-            num_layers=cfg.num_layers,
-            d_model=d,
-            nhead=cfg.nhead,
-            dim_feedforward=d * 4,
-            dropout=cfg.dropout,
-            norm_first=cfg.norm_first,
-            cross_attention=True,
-            final_norm=cfg.norm_first,
-            dtype=dt,
-            attn_impl=cfg.attn_impl,
-        )
+        self.decoder = TransformerStack(cross_attention=True, **stack_kw)
         self.predict_layer = nn.Dense(cfg.num_mel_bins, dtype=dt)
         self.stop_layer = nn.Dense(1, dtype=dt)
 
     def _prenet(self, mel, deterministic):
+        if self.cfg.scaling_xformers:
+            return self.decoder_prenet_fc(mel)
         # dropout is applied even at inference in Tacotron-style prenets; the
         # reference uses plain Dropout layers, so honor `deterministic`.
         h = nn.relu(self.decoder_prenet_fc1(mel))
-        h = nn.Dropout(0.5)(h, deterministic=deterministic)
+        h = self.prenet_dropout(h, deterministic=deterministic)
         h = nn.relu(self.decoder_prenet_fc2(h))
-        h = nn.Dropout(0.5)(h, deterministic=deterministic)
+        h = self.prenet_dropout(h, deterministic=deterministic)
         return self.decoder_prenet_fc3(h)
 
     def encode(self, x, x_mask, deterministic):

@@ -30,6 +30,7 @@ class MultiheadAttention(nn.Module):
     bias: bool = True
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"  # "xla" | "flash"
+    out_kernel_init: Optional[object] = None  # ScaledLinear-style init
 
     @nn.compact
     def __call__(
@@ -124,6 +125,9 @@ class MultiheadAttention(nn.Module):
             impl=self.attn_impl,
         )
         out = out.reshape(b, tq, d)
-        out = nn.Dense(d, use_bias=self.bias, dtype=self.dtype, name="out_proj")(out)
+        okw = {} if self.out_kernel_init is None else {"kernel_init": self.out_kernel_init}
+        out = nn.Dense(
+            d, use_bias=self.bias, dtype=self.dtype, name="out_proj", **okw
+        )(out)
         kv = (k, v) if return_kv else None
         return out, new_cache, kv

@@ -46,15 +46,36 @@ class AdaptiveLayerNorm(nn.Module):
 
 
 class ConditionedNorm(nn.Module):
-    """LayerNorm, or AdaptiveLayerNorm when ``adaptive`` (NAR decoder)."""
+    """LayerNorm / AdaptiveLayerNorm (NAR stage conditioning) / IdentityNorm /
+    BalancedBasicNorm (scaling_xformers variant, ref modules/transformer.py
+    :111-176)."""
 
     d_model: int
     adaptive: bool = False
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    norm_type: str = "layer"  # layer | identity | balanced_basic
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x, stage_emb=None):
+        if self.norm_type == "identity":
+            return x
+        if self.norm_type == "balanced_basic":
+            from valle_tpu.nn.scaling import activation_balancer, basic_norm
+
+            x = activation_balancer(
+                x,
+                channel_dim=-1,
+                min_positive=0.45,
+                max_positive=0.55,
+                max_abs=6.0,
+                apply=not self.deterministic,
+            )
+            eps_log = self.param(
+                "eps_log", lambda k: jnp.log(jnp.asarray(0.25, jnp.float32))
+            )
+            return basic_norm(x, eps_log)
         if self.adaptive:
             return AdaptiveLayerNorm(self.d_model, self.eps, self.dtype, name="ada")(
                 x, stage_emb
@@ -80,6 +101,8 @@ class TransformerLayer(nn.Module):
     adaptive_norm: bool = False
     cross_attention: bool = False
     activation: str = "relu"
+    norm_type: str = "layer"  # "identity" engages the scaling_xformers layout
+    out_init_scale: float = 1.0  # ScaledLinear(initial_scale) on output projs
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     deterministic: bool = True
@@ -90,6 +113,10 @@ class TransformerLayer(nn.Module):
             return nn.relu(x)
         if self.activation == "gelu":
             return nn.gelu(x)
+        if self.activation == "balanced_double_swish":
+            from valle_tpu.nn.scaling import balanced_double_swish
+
+            return balanced_double_swish(x, apply=not self.deterministic)
         raise ValueError(self.activation)
 
     @nn.compact
@@ -115,11 +142,29 @@ class TransformerLayer(nn.Module):
             # Under nn.scan a dummy per-layer scalar stands in for "no cache".
             if not isinstance(kv_cache, tuple):
                 kv_cache = None
-        norm = partial(
-            ConditionedNorm,
-            self.d_model,
-            adaptive=self.adaptive_norm,
-            dtype=self.dtype,
+        def norm(name):
+            # scaling_xformers: identity before attention blocks,
+            # BalancedBasicNorm before the FFN (ref modules/transformer.py
+            # :243-251 via IdentityNorm -> BalancedBasicNorm for norm2)
+            ntype = self.norm_type
+            if self.norm_type == "identity" and name == "norm2":
+                ntype = "balanced_basic"
+            return ConditionedNorm(
+                self.d_model,
+                adaptive=self.adaptive_norm,
+                dtype=self.dtype,
+                norm_type=ntype,
+                deterministic=deterministic,
+                name=name,
+            )
+
+        out_init = (
+            nn.initializers.lecun_normal()
+            if self.out_init_scale == 1.0
+            else (
+                lambda k, s, d=jnp.float32: nn.initializers.lecun_normal()(k, s, d)
+                * self.out_init_scale
+            )
         )
         sa = MultiheadAttention(
             self.d_model,
@@ -127,6 +172,7 @@ class TransformerLayer(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            out_kernel_init=out_init,
             name="self_attn",
         )
         drop = partial(nn.Dropout, rate=self.dropout)
@@ -135,7 +181,9 @@ class TransformerLayer(nn.Module):
             h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(h)
             h = self._act(h)
             h = drop(name="ff_drop")(h, deterministic=deterministic)
-            h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+            h = nn.Dense(
+                self.d_model, dtype=self.dtype, kernel_init=out_init, name="linear2"
+            )(h)
             return drop(name="ff_out_drop")(h, deterministic=deterministic)
 
         def sa_block(h):
@@ -200,6 +248,9 @@ class TransformerStack(nn.Module):
     adaptive_norm: bool = False
     cross_attention: bool = False
     final_norm: bool = True
+    activation: str = "relu"
+    norm_type: str = "layer"
+    out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
 
@@ -241,6 +292,9 @@ class TransformerStack(nn.Module):
             norm_first=self.norm_first,
             adaptive_norm=self.adaptive_norm,
             cross_attention=self.cross_attention,
+            activation=self.activation,
+            norm_type=self.norm_type,
+            out_init_scale=self.out_init_scale,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             deterministic=deterministic,
@@ -273,6 +327,10 @@ class TransformerStack(nn.Module):
                 self.d_model,
                 adaptive=self.adaptive_norm,
                 dtype=self.dtype,
+                norm_type="balanced_basic"
+                if self.norm_type == "identity"
+                else self.norm_type,
+                deterministic=deterministic,
                 name="final_norm",
             )(x, stage_emb)
         return x, new_cache, kv

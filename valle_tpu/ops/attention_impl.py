@@ -40,7 +40,13 @@ def dot_product_attention(
     impl: str = "xla",
 ) -> jnp.ndarray:
     """(B,Tq,H,Dh),(B,Tk,H,Dh),(B,Tk,H,Dh) -> (B,Tq,H,Dh)."""
-    if impl == "flash" and deterministic and q.shape[1] > 1:
+    # The flash kernel is differentiable (library custom-VJP) but has no
+    # attention-prob dropout; fall back to XLA when dropout is active.
+    if (
+        impl == "flash"
+        and q.shape[1] > 1
+        and (deterministic or dropout_rate == 0.0)
+    ):
         from valle_tpu.ops.flash_attention import flash_attention_biased
 
         out = flash_attention_biased(q, k, v, bias)
