@@ -40,7 +40,7 @@ def corpus(tmp_path_factory):
                 dur = float(rng.uniform(1.0, 6.0))
                 t = int(dur * macros.AUDIO_FRAME_RATE)
                 codes = rng.randint(0, 1024, (t, 8))
-                shard = w.write(utt_id, codes)
+                shard, key = w.write(utt_id, codes)
                 tokens = tok([text])[0]
                 symbols.update(tokens)
                 records.append(
@@ -50,7 +50,7 @@ def corpus(tmp_path_factory):
                         "tokens": tokens,
                         "duration": dur,
                         "shard": shard,
-                        "key": utt_id,
+                        "key": key,
                     }
                 )
     Manifest.save(iter(records), root / "manifest_train.jsonl.gz")
@@ -64,9 +64,83 @@ def corpus(tmp_path_factory):
 def test_manifest_roundtrip(corpus):
     m = Manifest.load(corpus / "manifest_train.jsonl.gz")
     assert len(m) == 24
+    assert m.uses_vshards()
     codes = m.codes(0)
     assert codes.shape[1] == 8
     assert "Cuts count: 24" in m.describe()
+
+
+def test_h5_shard_compat(tmp_path):
+    """Legacy HDF5 shards still load through the same Manifest surface."""
+    h5py = pytest.importorskip("h5py")  # noqa: F841
+    rng = np.random.RandomState(1)
+    records = []
+    with CodeShardWriter(tmp_path, fmt="h5") as w:
+        for i in range(4):
+            codes = rng.randint(0, 1024, (rng.randint(30, 90), 8))
+            shard, key = w.write(f"utt{i}", codes)
+            records.append(
+                {"id": f"utt{i}", "text": "", "tokens": ["a"],
+                 "duration": codes.shape[0] / macros.AUDIO_FRAME_RATE,
+                 "shard": shard, "key": key, "_codes": codes}
+            )
+    Manifest.save(
+        iter([{k: v for k, v in r.items() if k != "_codes"} for r in records]),
+        tmp_path / "manifest_train.jsonl.gz",
+    )
+    m = Manifest.load(tmp_path / "manifest_train.jsonl.gz")
+    assert not m.uses_vshards()
+    for i, r in enumerate(records):
+        assert np.array_equal(m.codes(i), r["_codes"])
+
+
+def test_native_matches_numpy_fallback(corpus, monkeypatch):
+    """The C++ gather_pad and the numpy loop produce identical batches."""
+    from valle_tpu.data import native_loader
+    from valle_tpu.data.bucketing import BucketSpec
+    from valle_tpu.data.dataset import SpeechSynthesisDataset
+
+    if not native_loader.available():
+        pytest.skip("no C++ toolchain")
+    m = Manifest.load(corpus / "manifest_train.jsonl.gz")
+    collater = get_text_token_collater(str(corpus / "unique_text_tokens.k2symbols"))
+    ds_native = SpeechSynthesisDataset(m, collater)
+    assert ds_native._native is not None
+    monkeypatch.setattr(native_loader, "available", lambda: False)
+    ds_numpy = SpeechSynthesisDataset(
+        Manifest.load(corpus / "manifest_train.jsonl.gz"), collater
+    )
+    assert ds_numpy._native is None
+    spec = BucketSpec(max_text_len=32, max_audio_len=160)
+    idx = [0, 3, 7, 11, 23]
+    bn = ds_native.batch(spec, idx)
+    bp = ds_numpy.batch(spec, idx)
+    assert np.array_equal(bn["audio_features"], bp["audio_features"])
+    assert np.array_equal(bn["audio_features_lens"], bp["audio_features_lens"])
+
+
+def test_prefetcher(corpus):
+    from valle_tpu.data.dataset import Prefetcher
+
+    m = Manifest.load(corpus / "manifest_train.jsonl.gz")
+    collater = get_text_token_collater(str(corpus / "unique_text_tokens.k2symbols"))
+    loader = TtsDataLoader(m, collater, max_duration=8.0, num_buckets=2, seed=3)
+    loader.set_epoch(0)
+    direct = [tuple(u for row in b["utt_id"] for u in row) for b in loader]
+    prefetched = [
+        tuple(u for row in b["utt_id"] for u in row)
+        for b in Prefetcher(iter(loader))
+    ]
+    assert direct == prefetched
+
+    def boom():
+        yield {"utt_id": [["x"]]}
+        raise RuntimeError("worker failed")
+
+    it = iter(Prefetcher(boom()))
+    next(it)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(it)
 
 
 def test_symbol_table_roundtrip(corpus):

@@ -41,6 +41,9 @@ def get_args():
     p.add_argument("--text-extractor", type=str, default="espeak")
     p.add_argument("--batch-frames", type=int, default=8,
                    help="wavs encoded per device batch (padded to max len)")
+    p.add_argument("--shard-format", type=str, default="vsh",
+                   choices=["vsh", "h5"],
+                   help="vsh = packed shards for the native C++ loader")
     return p.parse_args()
 
 
@@ -62,7 +65,9 @@ def main():
 
     symbols = SymbolTable()
     records = []
-    with CodeShardWriter(args.output_dir, prefix=f"codes_{args.split}") as w:
+    with CodeShardWriter(
+        args.output_dir, prefix=f"codes_{args.split}", fmt=args.shard_format
+    ) as w:
         for i in range(0, len(rows), args.batch_frames):
             chunk = rows[i : i + args.batch_frames]
             wavs = []
@@ -79,7 +84,7 @@ def main():
             for k, (utt_id, _, text) in enumerate(chunk):
                 n_frames = int(np.ceil(wavs[k].shape[-1] / macros.AUDIO_HOP))
                 c = codes[k, :n_frames]
-                shard = w.write(utt_id, c)
+                shard, key = w.write(utt_id, c)
                 tokens = tokenize_text(tokenizer, text)
                 for s in tokens:
                     symbols.add(s)
@@ -90,7 +95,7 @@ def main():
                         "tokens": tokens,
                         "duration": wavs[k].shape[-1] / codec.sample_rate,
                         "shard": shard,
-                        "key": utt_id,
+                        "key": key,
                     }
                 )
             if (i // args.batch_frames) % 50 == 0:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from valle_tpu.data import Manifest, TtsDataLoader, get_text_token_collater
+from valle_tpu.data import Manifest, Prefetcher, TtsDataLoader, get_text_token_collater
 from valle_tpu.models import add_model_arguments, config_from_args, get_model, str2bool
 from valle_tpu.optim import eden_lr, eve, get_lr_fn, scaled_adam
 from valle_tpu.parallel import mesh as mesh_lib
@@ -200,7 +200,10 @@ def run(args):
             loader.set_epoch(epoch)
             epoch_arr = jnp.asarray(epoch, jnp.int32)
             t_last = time.time()
-            for batch in loader:
+            # background host batch assembly (native C++ gather + collation)
+            # overlapping device compute (ref dataloader workers
+            # datamodule.py:336-343)
+            for batch in Prefetcher(iter(loader)):
                 arrays = {
                     k: v
                     for k, v in batch.items()

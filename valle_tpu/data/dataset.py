@@ -24,14 +24,45 @@ from valle_tpu.data.shards import Manifest
 
 
 class SpeechSynthesisDataset:
-    """Index-based access mirroring the reference dataset's output dict."""
+    """Index-based access mirroring the reference dataset's output dict.
+
+    When the manifest's shards are vsh-format and the native C++ loader is
+    built (native/loader/valle_loader.cc), the codes gather+pad runs in C++
+    worker threads (GIL released across the ctypes call); otherwise a numpy
+    per-utterance loop.
+    """
 
     def __init__(self, manifest: Manifest, collater: TextTokenCollater):
         self.manifest = manifest
         self.collater = collater
+        self._native = None
+        if manifest.uses_vshards():
+            from valle_tpu.data import native_loader
+
+            if native_loader.available():
+                names = manifest.shard_names()
+                self._shard_index = {n: i for i, n in enumerate(names)}
+                self._native = native_loader.NativeShardSet(
+                    [manifest.root / n for n in names]
+                )
 
     def __len__(self) -> int:
         return len(self.manifest)
+
+    def _gather_codes(self, indices: List[int], t: int, num_q: int):
+        if self._native is not None:
+            recs = [self.manifest[i] for i in indices]
+            si = [self._shard_index[r["shard"]] for r in recs]
+            ri = [int(r["key"]) for r in recs]
+            return self._native.gather_pad(si, ri, t, num_q)
+        codes = np.zeros((len(indices), t, num_q), np.int32)
+        code_lens = np.zeros((len(indices),), np.int32)
+        for k, i in enumerate(indices):
+            c = self.manifest.codes(i)
+            n = min(c.shape[0], t)
+            codes[k, :n] = c[:n]
+            code_lens[k] = n
+        return codes, code_lens
 
     def batch(self, spec: BucketSpec, indices: List[int]) -> Dict:
         recs = [self.manifest[i] for i in indices]
@@ -41,13 +72,7 @@ class SpeechSynthesisDataset:
         text = np.zeros((b, s), np.int32)
         text[:, : token_ids.shape[1]] = token_ids[:, :s]
         num_q = int(recs[0].get("num_quantizers") or 8)
-        codes = np.zeros((b, t, num_q), np.int32)
-        code_lens = np.zeros((b,), np.int32)
-        for k, i in enumerate(indices):
-            c = self.manifest.codes(i)
-            n = min(c.shape[0], t)
-            codes[k, :n] = c[:n]
-            code_lens[k] = n
+        codes, code_lens = self._gather_codes(indices, t, num_q)
         return {
             "utt_id": [r["id"] for r in recs],
             "text": [r["text"] for r in recs],
@@ -193,3 +218,39 @@ class TtsDataLoader:
             else:
                 out[k] = np.stack([m[k][:b] for m in micros], axis=0)
         return out
+
+
+class Prefetcher:
+    """Runs an iterator in a background thread with a bounded queue, so host
+    batch assembly (native gather + text collation) overlaps device compute —
+    the role of the reference's DataLoader worker processes
+    (ref datamodule.py:336-343).  Exceptions propagate to the consumer."""
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err: List[BaseException] = []
+
+        def work():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                self._err.append(e)
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._sentinel:
+                if self._err:
+                    raise self._err[0]
+                return
+            yield item

@@ -1,4 +1,4 @@
-"""Tokenized-dataset storage: jsonl.gz manifests + HDF5 code shards.
+"""Tokenized-dataset storage: jsonl.gz manifests + code shards.
 
 Replaces the reference's lhotse CutSet manifests + ``NumpyHdf5Writer``
 (ref /root/reference/valle/bin/tokenizer.py:193-214).  A dataset directory
@@ -6,8 +6,10 @@ holds:
 
   manifest_<split>.jsonl.gz   one JSON object per utterance:
       {"id", "text", "tokens": [phoneme symbols], "duration": seconds,
-       "shard": "codes_000.h5", "key": "<id>"}
-  codes_<nnn>.h5              int16 (T, Q) EnCodec code arrays per utterance
+       "shard": "codes_000.vsh", "key": <record index> | "<id>"}
+  codes_<nnn>.vsh             packed int16 (T, Q) shards (native loader
+                              format, see vshard.py) — the default
+  codes_<nnn>.h5              HDF5 shards (legacy/compat; key = utt id)
   unique_text_tokens.k2symbols   symbol table (ref tokenizer.py:247-254)
 """
 
@@ -18,42 +20,67 @@ import json
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional
 
-import h5py
 import numpy as np
+
+from valle_tpu.data.vshard import VShardReader, VShardWriter
 
 
 class CodeShardWriter:
+    """Writes code arrays into rolling shards; vsh (default) or h5 format."""
+
     def __init__(self, out_dir: str | Path, prefix: str = "codes",
-                 max_per_shard: int = 50000):
+                 max_per_shard: int = 50000, fmt: str = "vsh",
+                 num_quantizers: int = 8):
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.prefix = prefix
         self.max_per_shard = max_per_shard
+        self.fmt = fmt
+        self.num_q = num_quantizers
         self._shard_idx = -1
         self._count = 0
-        self._h5: Optional[h5py.File] = None
+        self._h5 = None
+        self._vsh: Optional[VShardWriter] = None
         self._open_next()
 
     def _open_next(self):
-        if self._h5 is not None:
-            self._h5.close()
+        self._close_current()
         self._shard_idx += 1
         self._count = 0
-        self._path = self.out_dir / f"{self.prefix}_{self._shard_idx:03d}.h5"
-        self._h5 = h5py.File(self._path, "w")
+        ext = "vsh" if self.fmt == "vsh" else "h5"
+        self._path = self.out_dir / f"{self.prefix}_{self._shard_idx:03d}.{ext}"
+        if self.fmt == "vsh":
+            self._vsh = VShardWriter(self._path, self.num_q)
+        else:
+            import h5py
 
-    def write(self, key: str, codes: np.ndarray) -> str:
-        """codes (T, Q) -> returns the shard filename holding this key."""
+            self._h5 = h5py.File(self._path, "w")
+
+    def write(self, key: str, codes: np.ndarray):
+        """codes (T, Q) -> (shard filename, key) locating this utterance.
+
+        For vsh shards the returned key is the integer record index; for h5
+        it is the utterance id.
+        """
         if self._count >= self.max_per_shard:
             self._open_next()
-        self._h5.create_dataset(key, data=codes.astype(np.int16))
         self._count += 1
-        return self._path.name
+        if self.fmt == "vsh":
+            rec = self._vsh.add(codes)
+            return self._path.name, rec
+        self._h5.create_dataset(key, data=codes.astype(np.int16))
+        return self._path.name, key
 
-    def close(self):
+    def _close_current(self):
         if self._h5 is not None:
             self._h5.close()
             self._h5 = None
+        if self._vsh is not None:
+            self._vsh.close()
+            self._vsh = None
+
+    def close(self):
+        self._close_current()
 
     def __enter__(self):
         return self
@@ -68,7 +95,7 @@ class Manifest:
     def __init__(self, records: List[Dict], root: Path):
         self.records = records
         self.root = Path(root)
-        self._open: Dict[str, h5py.File] = {}
+        self._open: Dict[str, object] = {}
 
     @staticmethod
     def load(path: str | Path) -> "Manifest":
@@ -95,12 +122,32 @@ class Manifest:
     def __getitem__(self, i: int) -> Dict:
         return self.records[i]
 
+    def shard_names(self) -> List[str]:
+        """Distinct shard files, in first-appearance order."""
+        seen: Dict[str, None] = {}
+        for r in self.records:
+            seen.setdefault(r["shard"], None)
+        return list(seen)
+
+    def uses_vshards(self) -> bool:
+        return all(n.endswith(".vsh") for n in self.shard_names())
+
+    def _reader(self, shard: str):
+        if shard not in self._open:
+            if shard.endswith(".vsh"):
+                self._open[shard] = VShardReader(self.root / shard)
+            else:
+                import h5py
+
+                self._open[shard] = h5py.File(self.root / shard, "r")
+        return self._open[shard]
+
     def codes(self, i: int) -> np.ndarray:
         r = self.records[i]
-        shard = r["shard"]
-        if shard not in self._open:
-            self._open[shard] = h5py.File(self.root / shard, "r")
-        return np.asarray(self._open[shard][r["key"]], dtype=np.int64)
+        reader = self._reader(r["shard"])
+        if r["shard"].endswith(".vsh"):
+            return reader[int(r["key"])]
+        return np.asarray(reader[r["key"]], dtype=np.int64)
 
     def durations(self) -> np.ndarray:
         return np.array([r["duration"] for r in self.records], np.float64)
