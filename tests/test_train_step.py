@@ -112,3 +112,56 @@ def test_sharded_step_on_mesh():
         )
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_example_mask_dummy_rows_no_loss_change():
+    """Appending masked zero-length dummy rows (fixed-batch shape padding)
+    must leave loss and metrics identical for every train stage and prefix
+    mode that draws batch-level randomness from min(y_lens)."""
+    for prefix_mode in (0, 1, 2):
+        cfg = ModelConfig(
+            decoder_dim=64, nhead=4, num_layers=2, num_quantizers=8,
+            prefix_mode=prefix_mode, dropout=0.0,
+        )
+        model = VALLE(cfg)
+        rng = np.random.RandomState(3)
+        b, s, t = 3, 8, 24
+        x = rng.randint(1, 512, (b, s)).astype(np.int32)
+        x_lens = np.array([8, 6, 7], np.int32)
+        y = rng.randint(0, 1024, (b, t, 8)).astype(np.int32)
+        y_lens = np.array([24, 16, 20], np.int32)
+
+        pad = 2
+        xp = np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
+        xp_lens = np.concatenate([x_lens, np.full((pad,), 2, np.int32)])
+        yp = np.concatenate([y, np.zeros((pad, t, 8), np.int32)])
+        yp_lens = np.concatenate([y_lens, np.zeros((pad,), np.int32)])
+        mask = np.array([True] * b + [False] * pad)
+
+        key = jax.random.PRNGKey(0)
+        variables = model.init(
+            {"params": key, "stage": key}, jnp.asarray(x), jnp.asarray(x_lens),
+            jnp.asarray(y), jnp.asarray(y_lens), train_stage=0,
+            deterministic=True, nar_stage=jnp.asarray(2),
+        )
+        kw = dict(train_stage=0, deterministic=True, nar_stage=jnp.asarray(2),
+                  prefix_len=jnp.asarray(4) if prefix_mode in (1, 2) else None,
+                  prompt_starts=jnp.asarray([0, 1, 2, 0, 0][: b + pad], jnp.int32)
+                  if prefix_mode == 2 else None)
+        kw_real = dict(kw)
+        if prefix_mode == 2:
+            kw_real["prompt_starts"] = kw["prompt_starts"][:b]
+        out_real = model.apply(
+            variables, jnp.asarray(x), jnp.asarray(x_lens), jnp.asarray(y),
+            jnp.asarray(y_lens), example_mask=jnp.ones((b,), bool), **kw_real,
+        )
+        out_pad = model.apply(
+            variables, jnp.asarray(xp), jnp.asarray(xp_lens), jnp.asarray(yp),
+            jnp.asarray(yp_lens), example_mask=jnp.asarray(mask), **kw,
+        )
+        for k in ("loss", "ar_loss", "nar_loss", "frames"):
+            np.testing.assert_allclose(
+                float(out_real[k]), float(out_pad[k]), rtol=2e-5,
+                err_msg=f"prefix_mode={prefix_mode} key={k}",
+            )
+        assert np.isfinite(float(out_pad["loss"]))

@@ -51,6 +51,9 @@ def get_parser():
     parser.add_argument("--num-buckets", type=int, default=10)
     parser.add_argument("--filter-min-duration", type=float, default=0.0)
     parser.add_argument("--filter-max-duration", type=float, default=20.0)
+    parser.add_argument("--batch-quant", type=int, default=8,
+                        help="round batch example counts up to a multiple of "
+                        "this (masked dummy rows) to bound XLA recompiles")
     parser.add_argument("--dataset", type=str, default="",
                         help="libritts/ljspeech: enables prefix-mode-4 prompts")
     parser.add_argument("--log-interval", type=int, default=100)
@@ -62,6 +65,8 @@ def get_parser():
     parser.add_argument("--inf-check", type=str2bool, default=False)
     parser.add_argument("--oom-check", type=str2bool, default=True)
     parser.add_argument("--tensorboard", type=str2bool, default=True)
+    parser.add_argument("--visualize", type=str2bool, default=False,
+                        help="dump eval PNGs at validation (ref trainer.py:575-583)")
     return parser
 
 
@@ -128,6 +133,7 @@ def run(args):
         dataset_name=args.dataset or None,
         min_duration=args.filter_min_duration,
         max_utt_duration=args.filter_max_duration,
+        batch_quant=args.batch_quant,
     )
 
     # find an example batch for init
@@ -148,6 +154,12 @@ def run(args):
     )
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     logging.info(f"parameters: {n_params / 1e6:.1f}M")
+    # model description dump (ref trainer.py:894-896 model.txt)
+    with open(args.exp_dir / "model.txt", "w") as f:
+        f.write(f"{cfg}\n\nparameters: {n_params}\n\n")
+        for path, p in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+            name = "/".join(str(k.key) for k in path)
+            f.write(f"{name}\t{tuple(p.shape)}\t{p.dtype}\n")
 
     ckpt = CheckpointManager(args.exp_dir / "checkpoints", args.keep_last_k)
     meta: dict = {}
@@ -195,6 +207,11 @@ def run(args):
     tracker = MetricsTracker(reset_interval=200)
     start_epoch = int(meta.get("epoch", args.start_epoch))
 
+    if args.oom_check:
+        scan_batch_shapes_for_oom(
+            args, cfg, loader, step_fn, state, train_mesh
+        )
+
     with train_mesh:
         for epoch in range(start_epoch, args.num_epochs + 1):
             loader.set_epoch(epoch)
@@ -210,9 +227,23 @@ def run(args):
                     if k not in ("utt_id", "text", "prompt_codes_lens")
                 }
                 sharded = mesh_lib.shard_batch(arrays, train_mesh, axis=1)
-                state, metrics = step_fn(state, sharded, rng, epoch_arr)
-                step = int(state.step)
-                tracker.update(jax.tree.map(float, metrics))
+                try:
+                    state, metrics = step_fn(state, sharded, rng, epoch_arr)
+                    step = int(state.step)
+                    tracker.update(jax.tree.map(float, metrics))
+                except Exception:
+                    # crash-time batch dump (ref display_and_save_batch
+                    # trainer.py:1076-1093)
+                    dump = args.exp_dir / f"batch-crash-step{int(state.step)}.npz"
+                    np.savez(
+                        dump,
+                        **{k: np.asarray(v) for k, v in arrays.items()},
+                        utt_id=np.array(
+                            [u for row in batch["utt_id"] for u in row]
+                        ),
+                    )
+                    logging.error(f"step failed; batch dumped to {dump}")
+                    raise
 
                 if args.inf_check and not np.isfinite(float(metrics["loss"])):
                     raise FloatingPointError(
@@ -246,7 +277,8 @@ def run(args):
 
                 if dev_manifest is not None and step % args.valid_interval == 0:
                     valid_loss = run_validation(
-                        eval_fn, state, dev_manifest, collater, args
+                        eval_fn, state, dev_manifest, collater, args,
+                        model=model, tag=f"step-{step}",
                     )
                     logging.info(f"validation at step {step}: loss={valid_loss:.4f}")
                     if writer:
@@ -259,7 +291,8 @@ def run(args):
                     "train_stage": args.train_stage,
                     "train_loss": tracker.normalized().get("loss"),
                     "valid_loss": run_validation(
-                        eval_fn, state, dev_manifest, collater, args
+                        eval_fn, state, dev_manifest, collater, args,
+                        model=model, tag=f"epoch-{epoch}",
                     )
                     if dev_manifest is not None
                     else None,
@@ -268,7 +301,64 @@ def run(args):
             logging.info(f"epoch {epoch} done")
 
 
-def run_validation(eval_fn, state, dev_manifest, collater, args) -> float:
+def scan_batch_shapes_for_oom(args, cfg, loader, step_fn, state, train_mesh):
+    """Pre-flight: run one synthetic train step per distinct batch shape the
+    sampler will produce this epoch (ref scan_pessimistic_batches_for_oom,
+    trainer.py:1096-1140).  Surfaces OOM before hours of training AND
+    pre-warms the jit cache so epoch 1 has no mid-epoch compile stalls.
+    Runs on a throwaway copy of the state (the step donates its input)."""
+    sampler = loader.sampler
+    shapes = sorted(
+        {
+            (
+                sampler.bucket_specs[b].max_text_len,
+                sampler.bucket_specs[b].max_audio_len,
+                len(items),
+            )
+            for b, items in sampler._batches()
+        }
+    )
+    logging.info(f"OOM pre-scan / jit pre-warm over {len(shapes)} batch shapes")
+    rng = np.random.RandomState(0)
+    a = args.accumulate_grad_steps
+    scan_state = jax.tree.map(jnp.copy, state)
+    with train_mesh:
+        for s, t, bsz in shapes:
+            arrays = {
+                "text_tokens": rng.randint(
+                    1, cfg.num_text_tokens, (a, bsz, s)
+                ).astype(np.int32),
+                "text_tokens_lens": np.full((a, bsz), s, np.int32),
+                "audio_features": rng.randint(
+                    0, cfg.num_audio_tokens, (a, bsz, t, cfg.num_quantizers)
+                ).astype(np.int32),
+                "audio_features_lens": np.full((a, bsz), t, np.int32),
+                "example_mask": np.ones((a, bsz), bool),
+            }
+            if args.dataset:
+                p = 3 * 75
+                arrays["prompt_codes"] = rng.randint(
+                    0, cfg.num_audio_tokens, (a, bsz, p, cfg.num_quantizers)
+                ).astype(np.int32)
+            sharded = mesh_lib.shard_batch(arrays, train_mesh, axis=1)
+            try:
+                scan_state, m = step_fn(
+                    scan_state, sharded, jax.random.PRNGKey(0),
+                    jnp.zeros((), jnp.int32),
+                )
+                jax.block_until_ready(m["loss"])
+            except Exception:
+                logging.error(
+                    f"OOM-scan failure at shape B={bsz} S={s} T={t} "
+                    f"(accum {a}); reduce --max-duration"
+                )
+                raise
+    del scan_state
+
+
+def run_validation(
+    eval_fn, state, dev_manifest, collater, args, model=None, tag="latest"
+) -> float:
     loader = TtsDataLoader(
         dev_manifest,
         collater,
@@ -280,6 +370,7 @@ def run_validation(eval_fn, state, dev_manifest, collater, args) -> float:
     loader.set_epoch(0)
     tot, frames = 0.0, 0.0
     rng = jax.random.PRNGKey(0)
+    first = None
     for batch in loader:
         micro = {
             k: jnp.asarray(v[0])
@@ -289,6 +380,31 @@ def run_validation(eval_fn, state, dev_manifest, collater, args) -> float:
         out = eval_fn(state.params, micro, rng)
         tot += float(out["loss"])
         frames += float(out["frames"])
+        if first is None:
+            first = batch
+    if args.visualize and model is not None and first is not None:
+        from valle_tpu.models.visualizer import visualize
+
+        enc, dec = model.apply(
+            {"params": state.params},
+            jnp.asarray(first["text_tokens"][0]),
+            jnp.asarray(first["text_tokens_lens"][0]),
+            jnp.asarray(first["audio_features"][0]),
+            jnp.asarray(first["audio_features_lens"][0]),
+            method="visualize_forward",
+        )
+        visualize(
+            (np.asarray(enc, np.float32), np.asarray(dec, np.float32)),
+            {
+                "text_tokens": first["text_tokens"][0],
+                "text_tokens_lens": first["text_tokens_lens"][0],
+                "audio_features": first["audio_features"][0],
+                "audio_features_lens": first["audio_features_lens"][0],
+                "utt_id": first["utt_id"][0],
+                "text": first["text"][0],
+            },
+            str(args.exp_dir / "eval" / str(tag)),
+        )
     return tot / max(frames, 1.0)
 
 

@@ -42,6 +42,10 @@ class DynamicBucketingSampler:
       shuffle, seed: seeded order; reshuffled each epoch via set_epoch.
       rank / world_size: per-host sharding of batches.
       pad_multiple: bucket shape ceilings rounded up to this (MXU-friendly).
+      batch_quant: round each batch's example count up to a multiple of this
+        by appending -1 placeholder indices (loader emits zero-length rows
+        masked out of the loss).  Bounds the number of distinct (B, S, T)
+        shapes — i.e. XLA programs — per bucket; 1 disables.
     """
 
     def __init__(
@@ -58,7 +62,9 @@ class DynamicBucketingSampler:
         rank: int = 0,
         world_size: int = 1,
         pad_multiple: int = 16,
+        batch_quant: int = 1,
     ):
+        self.batch_quant = max(int(batch_quant), 1)
         self.durations = np.asarray(durations, np.float64)
         self.text_lens = np.asarray(text_lens, np.int64)
         self.audio_lens = np.asarray(audio_lens, np.int64)
@@ -123,6 +129,10 @@ class DynamicBucketingSampler:
             for b, items in per_bucket.items():
                 if items:
                     batches.append((b, items))
+        if self.batch_quant > 1:
+            for b, items in batches:
+                pad = -len(items) % self.batch_quant
+                items.extend([-1] * pad)
         if self.shuffle:
             rng.shuffle(batches)
         # shard across hosts: each host takes batches rank::world_size

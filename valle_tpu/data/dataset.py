@@ -65,21 +65,36 @@ class SpeechSynthesisDataset:
         return codes, code_lens
 
     def batch(self, spec: BucketSpec, indices: List[int]) -> Dict:
-        recs = [self.manifest[i] for i in indices]
-        token_ids, token_lens = self.collater.index([r["tokens"] for r in recs])
+        """Index -1 marks a shape-padding row (fixed-batch buckets): it gets
+        [bos, eos] text, zero-length codes, and example_mask False so the
+        model excludes it from loss/metrics."""
+        recs = [self.manifest[i] if i >= 0 else None for i in indices]
+        real0 = next(r for r in recs if r is not None)
+        token_ids, token_lens = self.collater.index(
+            [r["tokens"] if r is not None else [] for r in recs]
+        )
         b = len(indices)
         s, t = spec.max_text_len, spec.max_audio_len
         text = np.zeros((b, s), np.int32)
         text[:, : token_ids.shape[1]] = token_ids[:, :s]
-        num_q = int(recs[0].get("num_quantizers") or 8)
-        codes, code_lens = self._gather_codes(indices, t, num_q)
+        num_q = int(real0.get("num_quantizers") or 8)
+        codes, code_lens = self._gather_codes(
+            [i for i in indices if i >= 0], t, num_q
+        )
+        mask = np.array([i >= 0 for i in indices], bool)
+        if not mask.all():
+            full = np.zeros((b, t, num_q), np.int32)
+            full_lens = np.zeros((b,), np.int32)
+            full[mask], full_lens[mask] = codes, code_lens
+            codes, code_lens = full, full_lens
         return {
-            "utt_id": [r["id"] for r in recs],
-            "text": [r["text"] for r in recs],
+            "utt_id": [r["id"] if r is not None else real0["id"] for r in recs],
+            "text": [r["text"] if r is not None else "" for r in recs],
             "text_tokens": text,
             "text_tokens_lens": np.minimum(token_lens, s).astype(np.int32),
             "audio_features": codes,
             "audio_features_lens": code_lens,
+            "example_mask": mask,
         }
 
 
@@ -106,6 +121,7 @@ class TtsDataLoader:
         dataset_name: Optional[str] = None,  # enables prefix-mode-4 prompts
         min_duration: float = 0.0,
         max_utt_duration: float = float("inf"),
+        batch_quant: int = 8,
     ):
         self.dataset = SpeechSynthesisDataset(manifest, collater)
         self.manifest = manifest
@@ -133,6 +149,7 @@ class TtsDataLoader:
             seed=seed,
             rank=rank,
             world_size=world_size,
+            batch_quant=batch_quant,
         )
         self.prompts = None
         if dataset_name:
@@ -152,7 +169,8 @@ class TtsDataLoader:
         self.sampler.load_state_dict(state)
 
     def _one(self, spec: BucketSpec, rel_indices: List[int]) -> Dict:
-        indices = [self.keep[i] for i in rel_indices]
+        # -1 = shape-padding placeholder from the quantized sampler
+        indices = [self.keep[i] if i >= 0 else -1 for i in rel_indices]
         return self.dataset.batch(spec, indices)
 
     def _add_prompts(self, micros: List[Dict], rng) -> None:
@@ -210,13 +228,36 @@ class TtsDataLoader:
 
     @staticmethod
     def _stack(micros: List[Dict]) -> Dict:
+        """Stack same-bucket micro-batches along a leading accumulation axis,
+        padding ragged example counts up with masked dummy rows (dummy text =
+        a copy of row 0, so attention has valid keys; audio len 0 and
+        example_mask False keep it out of the loss)."""
         out: Dict = {}
-        b = min(m["text_tokens"].shape[0] for m in micros)
+        b = max(m["text_tokens"].shape[0] for m in micros)
+        for m in micros:
+            n = m["text_tokens"].shape[0]
+            if n == b:
+                continue
+            pad = b - n
+            m["utt_id"] = list(m["utt_id"]) + [m["utt_id"][0]] * pad
+            m["text"] = list(m["text"]) + [""] * pad
+            for k, v in list(m.items()):
+                if k in ("utt_id", "text"):
+                    continue
+                if k == "example_mask":
+                    m[k] = np.concatenate([v, np.zeros((pad,), bool)])
+                elif k in ("text_tokens", "text_tokens_lens", "prompt_codes",
+                           "prompt_codes_lens"):
+                    m[k] = np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                else:  # audio_features / audio_features_lens -> zeros
+                    m[k] = np.concatenate(
+                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
+                    )
         for k in micros[0]:
             if k in ("utt_id", "text"):
-                out[k] = [m[k][:b] for m in micros]
+                out[k] = [m[k] for m in micros]
             else:
-                out[k] = np.stack([m[k][:b] for m in micros], axis=0)
+                out[k] = np.stack([m[k] for m in micros], axis=0)
         return out
 
 

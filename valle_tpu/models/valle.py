@@ -287,12 +287,16 @@ class VALLE(nn.Module):
         prefix_len: Optional[jnp.ndarray] = None,
         prompt_starts: Optional[jnp.ndarray] = None,
         y_prompts_codes: Optional[jnp.ndarray] = None,
+        example_mask: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Training/eval forward.  Shapes: x (B,S) int, y (B,T,Q) int.
 
         train_stage: 0 = AR+NAR, 1 = AR only, 2 = NAR only (ref trainer).
         Randomness (NAR stage choice, prefix lengths, prompt starts) is drawn
         from the 'stage' rng stream unless given explicitly (for golden tests).
+        example_mask (B,) bool marks real rows; False rows are shape-padding
+        (fixed-batch buckets) and contribute zero loss/metrics — the
+        reference has no equivalent because eager GPU tolerates ragged B.
         Returns dict with summed losses and metric numerators.
         """
         cfg = self.cfg
@@ -311,7 +315,8 @@ class VALLE(nn.Module):
 
         if train_stage in (0, 1):
             ar_loss, ar_metric = self._forward_ar(
-                x, x_mask, ar_in, ar_tgt, y_mask, max_y, y_lens, deterministic
+                x, x_mask, ar_in, ar_tgt, y_mask, max_y, y_lens, deterministic,
+                example_mask=example_mask,
             )
             total_loss = total_loss + ar_loss
             out["ar_loss"] = ar_loss
@@ -333,6 +338,7 @@ class VALLE(nn.Module):
                 prompt_starts,
                 y_prompts_codes,
                 deterministic,
+                example_mask=example_mask,
             )
             total_loss = total_loss + nar_loss
             out["nar_loss"] = nar_loss
@@ -345,7 +351,8 @@ class VALLE(nn.Module):
         return out
 
     def _forward_ar(
-        self, x, x_mask, ar_in, ar_tgt, y_mask, max_y, y_lens, deterministic
+        self, x, x_mask, ar_in, ar_tgt, y_mask, max_y, y_lens, deterministic,
+        example_mask=None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         b, s = x.shape
@@ -397,6 +404,8 @@ class VALLE(nn.Module):
         pos = jnp.arange(ty)[None, :]
         valid = pos <= max_y if cfg.prepend_bos else pos < max_y
         valid = jnp.broadcast_to(valid, ar_tgt.shape)
+        if example_mask is not None:
+            valid = jnp.logical_and(valid, example_mask[:, None])
 
         loss = _cross_entropy_sum(logits, ar_tgt, valid)
         metric_valid = jnp.logical_and(valid, ar_tgt != cfg.eos_id)
@@ -421,9 +430,18 @@ class VALLE(nn.Module):
         prompt_starts,
         y_prompts_codes,
         deterministic,
+        example_mask=None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         b, s = x.shape
+        # min/count over REAL rows only — shape-padding rows (y_lens 0) must
+        # not collapse the prefix-length draw or inflate the loss rescale
+        if example_mask is not None:
+            min_y_lens = jnp.min(jnp.where(example_mask, y_lens, jnp.iinfo(jnp.int32).max))
+            n_rows = jnp.sum(example_mask.astype(jnp.float32))
+        else:
+            min_y_lens = jnp.min(y_lens)
+            n_rows = jnp.asarray(float(b), jnp.float32)
         t = y_mask.shape[1]
         q = cfg.num_quantizers
         eos = cfg.eos_id
@@ -457,7 +475,7 @@ class VALLE(nn.Module):
             tgt_ignore_extra = jnp.zeros_like(y_mask)
         elif mode == 1:
             if prefix_len is None:
-                int_low = (0.25 * jnp.min(y_lens)).astype(jnp.int32)
+                int_low = (0.25 * min_y_lens).astype(jnp.int32)
                 k = self.make_rng("stage")
                 prefix_len = jax.random.randint(
                     k, (), int_low, jnp.maximum(int_low * 2, int_low + 1)
@@ -483,7 +501,7 @@ class VALLE(nn.Module):
                 pcap = min(cfg.max_prefix_len, t)
                 if prefix_len is None:
                     prefix_len = jnp.minimum(
-                        pcap, (0.25 * jnp.min(y_lens)).astype(jnp.int32)
+                        pcap, (0.25 * min_y_lens).astype(jnp.int32)
                     )
                 if prompt_starts is None:
                     k = self.make_rng("stage")
@@ -578,7 +596,7 @@ class VALLE(nn.Module):
         loss = _cross_entropy_sum(logits, jnp.where(valid, targets, 0), valid)
         total_length = jnp.sum(y_lens).astype(jnp.float32)
         loss = loss * (
-            total_length / (total_length - rescale_prefix * x.shape[0])
+            total_length / (total_length - rescale_prefix * n_rows)
         )
 
         hits = jnp.logical_and(_top10_hits(logits, targets), valid)
@@ -587,6 +605,49 @@ class VALLE(nn.Module):
             "NarTop10Accuracy": acc.astype(jnp.float32) * total_length
         }
         return loss, metrics
+
+    def visualize_forward(self, x, x_lens, y, y_lens):
+        """Deterministic hidden states for eval visualization
+        (ref visualizer.py:26-106 wants encoder/decoder outputs): returns
+        (text-encoder output (B,S,D), AR decoder output over the audio
+        region (B,Ty,D))."""
+        b, s = x.shape
+        x_mask = mask_ops.make_pad_mask(x_lens, s)
+        y_mask = mask_ops.make_pad_mask(y_lens, y.shape[1])
+        y_mask_int = y_mask.astype(jnp.int32)
+        codes = y.astype(jnp.int32) * (1 - y_mask_int[..., None])
+        ar_in, _, _ = self._pad_y_eos(codes[..., 0], y_mask_int)
+        x_emb = self._ar_text(x, True)
+        y_emb = self._ar_audio(ar_in, True)
+        ty = ar_in.shape[1]
+        ar_y_mask = (
+            jnp.concatenate([jnp.zeros((b, 1), bool), y_mask], axis=1)
+            if self.cfg.prepend_bos
+            else y_mask
+        )
+        if self.variant == "valle":
+            struct = mask_ops.prefix_lm_attn_mask(s, ty)
+            key_pad = jnp.concatenate([x_mask, ar_y_mask], axis=1)
+            bias = mask_ops.mask_to_bias(
+                mask_ops.merge_padding(struct, key_pad), jnp.float32
+            )
+            dec, _, _ = self.ar_decoder(
+                jnp.concatenate([x_emb, y_emb], axis=1),
+                attn_bias=bias,
+                deterministic=True,
+            )
+            dec_y = dec[:, s:]
+        else:
+            struct = mask_ops.causal_mask(ty)
+            bias = mask_ops.mask_to_bias(
+                mask_ops.merge_padding(struct, ar_y_mask), jnp.float32
+            )
+            mem_bias = mask_ops.mask_to_bias(x_mask[:, None, None, :], jnp.float32)
+            dec_y, _, _ = self.ar_decoder(
+                y_emb, attn_bias=bias, memory=x_emb, memory_bias=mem_bias,
+                deterministic=True,
+            )
+        return x_emb, dec_y
 
     # ---------------------------------------------------------------- decode
     # The methods below are the param-touching pieces of the compiled

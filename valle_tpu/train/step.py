@@ -55,6 +55,8 @@ def make_train_step(
         kw = {}
         if "prompt_codes" in micro:
             kw["y_prompts_codes"] = micro["prompt_codes"]
+        if "example_mask" in micro:
+            kw["example_mask"] = micro["example_mask"]
         out = model.apply(
             {"params": params},
             micro["text_tokens"],
@@ -144,6 +146,8 @@ def make_eval_step(model, *, train_stage: int = 0):
         kw = {}
         if "prompt_codes" in batch:
             kw["y_prompts_codes"] = batch["prompt_codes"]
+        if "example_mask" in batch:
+            kw["example_mask"] = batch["example_mask"]
         out = model.apply(
             {"params": params},
             batch["text_tokens"],
