@@ -141,17 +141,19 @@ def generate(
     # kv: tuple of (k, v), each (L, B, Tpre, H, Dh)
     k_pre, v_pre = kv
     num_layers, _, _, h, dh = k_pre.shape
-    c = tpre + max_new_tokens
-    k_cache = jnp.zeros((num_layers, b, c, h, dh), k_pre.dtype)
+
+    # Chunked cache growth: decode in CHUNK-step segments, segment j's cache
+    # sized tpre + (j+1)*CHUNK.  HBM traffic per step scales with the live
+    # prefix (rounded up) instead of the worst-case tpre + max_new — decode
+    # is KV-read-bound, so average speedup ~ C_max / C_avg.
+    chunk = min(128, max_new_tokens)
+    c0 = tpre + chunk
+    k_cache = jnp.zeros((num_layers, b, c0, h, dh), k_pre.dtype)
     v_cache = jnp.zeros_like(k_cache)
     k_cache = jax.lax.dynamic_update_slice(k_cache, k_pre, (0, 0, 0, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, v_pre, (0, 0, 0, 0, 0))
 
-    key_valid = jnp.concatenate(
-        [jnp.logical_not(key_pad_pre), jnp.zeros((b, max_new_tokens), bool)],
-        axis=1,
-    )  # (B, C); generated slots validated by step index in the loop
-    slot_idx = jnp.arange(c)[None, :]
+    pre_valid = jnp.logical_not(key_pad_pre)  # (B, Tpre)
 
     tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32)
     state = (
@@ -165,12 +167,22 @@ def generate(
         rng,
     )
 
-    def cond(state):
-        _, _, _, _, t, finished, _, _ = state
-        return jnp.logical_and(t < max_new_tokens, jnp.logical_not(jnp.all(finished)))
+    def make_cond(seg_end):
+        def cond(state):
+            _, _, _, _, t, finished, _, _ = state
+            return jnp.logical_and(
+                t < seg_end, jnp.logical_not(jnp.all(finished))
+            )
+
+        return cond
 
     def body(state):
         kc, vc, logits, tokens, t, finished, gen_len, key = state
+        c_seg = kc.shape[2]
+        key_valid = jnp.concatenate(
+            [pre_valid, jnp.zeros((b, c_seg - tpre), bool)], axis=1
+        )
+        slot_idx = jnp.arange(c_seg)[None, :]
         key, sub = jax.random.split(key)
         if forbid_eos:
             # benchmark / min-length mode: EOS can never be sampled or win
@@ -222,7 +234,16 @@ def generate(
             key,
         )
 
-    _, _, _, tokens, _, _, gen_len, _ = jax.lax.while_loop(cond, body, state)
+    for seg_end in range(chunk, max_new_tokens + 1, chunk):
+        state = jax.lax.while_loop(make_cond(seg_end), body, state)
+        if seg_end < max_new_tokens:
+            grow = min(chunk, max_new_tokens - seg_end)
+            kc, vc = state[0], state[1]
+            pad = ((0, 0), (0, 0), (0, grow), (0, 0), (0, 0))
+            state = (jnp.pad(kc, pad), jnp.pad(vc, pad)) + state[2:]
+    if max_new_tokens % chunk:
+        state = jax.lax.while_loop(make_cond(max_new_tokens), body, state)
+    _, _, _, tokens, _, _, gen_len, _ = state
 
     gen_valid = jnp.arange(max_new_tokens)[None, :] < gen_len[:, None]
     tokens = jnp.where(gen_valid, tokens, 0)
