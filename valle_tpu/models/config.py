@@ -41,6 +41,11 @@ class ModelConfig:
 
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     attn_impl: str = "xla"  # xla | flash
+    # Decode KV-cache storage: "model" stores K/V in the compute dtype;
+    # "int8" stores symmetric per-(token, head)-quantized values + f32
+    # scales.  Decode is KV-read-bound, so int8 nearly halves the dominant
+    # HBM stream (serving optimization; training and parity paths unaffected).
+    kv_cache_dtype: str = "model"  # model | int8
 
     @property
     def nar_decoder_dim(self) -> int:

@@ -23,6 +23,36 @@ from flax import linen as nn
 from valle_tpu.ops.attention_impl import dot_product_attention
 
 
+def quantize_kv(x: jnp.ndarray):
+    """(..., Dh) -> (int8 values, f32 scale over the trailing Dh axis).
+
+    Symmetric per-(token, head) quantization for the decode KV-cache; the
+    scale factors out of the attention contractions so dequantization never
+    materializes a bf16 copy of the cache (see the decode branch below).
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-8)[..., None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+def _decode_attention_quantized(q, k8, v8, ks, vs, attn_bias):
+    """Single-query attention over an int8 cache.
+
+    q: (B, 1, H, Dh) bf16/f32; k8/v8: (B, C, H, Dh) int8;
+    ks/vs: (B, C, H) f32; attn_bias additive, broadcastable to (B, H, 1, C).
+    """
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(q.dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k8.astype(q.dtype))
+    logits = logits.astype(jnp.float32) * jnp.transpose(ks, (0, 2, 1))[:, :, None, :]
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = probs * jnp.transpose(vs, (0, 2, 1))[:, :, None, :]
+    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v8.astype(q.dtype))
+
+
 class MultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
@@ -82,6 +112,38 @@ class MultiheadAttention(nn.Module):
         v = v.reshape(b, tk, h, dh)
 
         new_cache = None
+        if kv_cache is not None and len(kv_cache) == 5:
+            # Quantized stacked-cache decode: (kc, vc, ks, vs, layer_idx)
+            # with kc/vc int8 (L, B, C, H, Dh) and per-(token, head) scales
+            # ks/vs (L, B, C, H) f32.  Decode is KV-read-bound, so storing
+            # the cache in int8 halves the dominant HBM stream; the scales
+            # factor out of both contractions exactly:
+            #   (q . s*k8)      = s * (q . k8)        -> scale the LOGITS
+            #   sum_c p_c s_c v8_c = (p*s) . v8        -> scale the PROBS
+            kc, vc, ks, vs, li = kv_cache
+            idx = jnp.asarray(0 if cache_index is None else cache_index, jnp.int32)
+            li = jnp.asarray(li, jnp.int32)
+            k8, k_sc = quantize_kv(k)
+            v8, v_sc = quantize_kv(v)
+            kc = jax.lax.dynamic_update_slice(kc, k8[None], (li, 0, idx, 0, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v8[None], (li, 0, idx, 0, 0))
+            ks = jax.lax.dynamic_update_slice(ks, k_sc[None], (li, 0, idx, 0))
+            vs = jax.lax.dynamic_update_slice(vs, v_sc[None], (li, 0, idx, 0))
+            new_cache = (kc, vc, ks, vs)
+            take = lambda c: jax.lax.dynamic_index_in_dim(c, li, 0, keepdims=False)
+            out = _decode_attention_quantized(
+                q, take(kc), take(vc), take(ks), take(vs), attn_bias
+            )
+            out = out.reshape(b, tq, d)
+            okw = (
+                {}
+                if self.out_kernel_init is None
+                else {"kernel_init": self.out_kernel_init}
+            )
+            out = nn.Dense(
+                d, use_bias=self.bias, dtype=self.dtype, name="out_proj", **okw
+            )(out)
+            return out, new_cache, None
         if kv_cache is not None and len(kv_cache) == 3:
             # Stacked-cache decode: (kc, vc, layer_idx) with kc/vc of shape
             # (L, B, C, H, Dh).  Only the current token's K/V is written (a

@@ -135,8 +135,9 @@ class TransformerLayer(nn.Module):
         if carry_cache:
             # Decode mode: the whole stacked cache rides in the scan CARRY so
             # XLA updates it in place; the scanned input is this layer's index.
-            x, kc, vc = carry
-            kv_cache = (kc, vc, kv_cache)
+            # 3-tuple carry = bf16 cache; 5-tuple = int8 cache + scales.
+            x, *cache = carry
+            kv_cache = (*cache, kv_cache)
         else:
             x = carry
             # Under nn.scan a dummy per-layer scalar stands in for "no cache".
@@ -227,7 +228,7 @@ class TransformerLayer(nn.Module):
 
         # (carry, ys) structure for nn.scan.
         if carry_cache:
-            return (x, new_cache[0], new_cache[1]), None
+            return (x, *new_cache), None
         return x, (new_cache, kv)
 
 
@@ -303,10 +304,10 @@ class TransformerStack(nn.Module):
         )
         if kv_cache is not None and getattr(kv_cache[0], "ndim", 0) == 5:
             # Decode: stacked (L, B, C, H, Dh) cache in the carry; layers
-            # consume their index as the scanned input.
-            kc, vc = kv_cache
-            (x, kc, vc), _ = layer(
-                (x, kc, vc),
+            # consume their index as the scanned input.  2 leaves = bf16
+            # cache (kc, vc); 4 leaves = int8 cache (kc, vc, ks, vs).
+            (x, *new_leaves), _ = layer(
+                (x, *kv_cache),
                 jnp.arange(self.num_layers, dtype=jnp.int32),
                 stage_emb,
                 attn_bias,
@@ -314,7 +315,7 @@ class TransformerStack(nn.Module):
                 memory_bias,
                 cache_index,
             )
-            new_cache, kv = (kc, vc), None
+            new_cache, kv = tuple(new_leaves), None
         else:
             if kv_cache is None:
                 # nn.scan requires a scanned input; feed a dummy per-layer zero.

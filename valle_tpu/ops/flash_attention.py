@@ -29,15 +29,41 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block(t_padded: int) -> int:
+    """Largest 128-multiple divisor of t_padded, capped at 1024.
+
+    The library kernel's default (128) block runs ~4.5x slower than one big
+    block at our sequence lengths (measured on v5e at B=128, T=896: 56.7 ms
+    vs 12.5 ms) — small blocks re-load the (1, Dh)-thin query tile per key
+    block and leave the MXU idle.  Scores for a 1024-block are 4 MB of VMEM.
+    """
+    for d in range(min(t_padded, 1024), 0, -_BLOCK):
+        if t_padded % d == 0 and d % _BLOCK == 0:
+            return d
+    return _BLOCK
+
+
 def flash_attention_biased(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray],
 ) -> Optional[jnp.ndarray]:
-    """(B,Tq,H,Dh) x (B,Tk,H,Dh) -> (B,Tq,H,Dh); None if ineligible."""
+    """(B,Tq,H,Dh) x (B,Tk,H,Dh) -> (B,Tq,H,Dh); None if ineligible.
+
+    Two mask encodings, picked by bias structure:
+      - key-padding-only masks (bias (B,1,1,Tk) or None) ride as
+        ``SegmentIds`` — O(B*T) int32 instead of a materialized
+        (B,H,Tq,Tk) f32 bias.  This is the NAR-refinement / cross-attention
+        hot path: at (B=128, T~800) the dense bias alone is ~6 GB of HBM
+        traffic per layer, more than the attention math it masks.
+      - per-query structured masks (prefix-LM prefill) fall back to the
+        dense ``ab`` bias.
+    """
     try:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            SegmentIds,
             flash_attention,
         )
     except ImportError:  # pragma: no cover
@@ -62,8 +88,45 @@ def flash_attention_biased(
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
 
-    if bias is None:
-        ab = jnp.zeros((b, 1, tq_p, tk_p), jnp.float32)
+    sm_scale = 1.0 / (dh**0.5)
+    bq, bk = _pick_block(tq_p), _pick_block(tk_p)
+    block_sizes = BlockSizes(
+        block_q=bq,
+        block_k_major=bk,
+        block_k=bk,
+        block_b=1,
+        block_q_major_dkv=bq,
+        block_k_major_dkv=bk,
+        block_k_dkv=bk,
+        block_q_dkv=bq,
+        block_k_major_dq=bk,
+        block_k_dq=bk,
+        block_q_dq=bq,
+    )
+
+    key_pad_only = bias is None or (bias.shape[1] == 1 and bias.shape[2] == 1)
+    if key_pad_only:
+        # All (real) queries see the same key-validity row: encode it as
+        # segment ids.  Padded key columns get segment 0; valid keys and all
+        # query rows get segment 1 (padded/garbage query rows produce finite
+        # outputs that callers slice off or mask downstream).
+        if bias is None:
+            kv_valid = jnp.ones((b, tk), bool)
+        else:
+            kv_valid = bias[:, 0, 0, :] > -1e8
+        if tk_p != tk:
+            kv_valid = jnp.pad(kv_valid, ((0, 0), (0, tk_p - tk)))
+        q_seg = jnp.ones((b, tq_p), jnp.int32)
+        kv_seg = kv_valid.astype(jnp.int32)
+        out = flash_attention(
+            qt,
+            kt,
+            vt,
+            segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
+            causal=False,
+            sm_scale=sm_scale,
+            block_sizes=block_sizes,
+        )
     else:
         ab = jnp.pad(
             bias.astype(jnp.float32),
@@ -74,16 +137,18 @@ def flash_attention_biased(
                 (0, tk_p - bias.shape[3]),
             ),
         )
-    # mask out padded key columns for every query
-    if tk_p != tk:
-        col = jnp.arange(tk_p) >= tk
-        ab = jnp.minimum(ab, jnp.where(col, -1e9, 0.0)[None, None, None, :])
-    ab = jnp.broadcast_to(ab, (b, ab.shape[1], tq_p, tk_p))
-    if ab.shape[1] == 1 and h > 1:
-        ab = jnp.broadcast_to(ab, (b, h, tq_p, tk_p))
+        # mask out padded key columns for every query
+        if tk_p != tk:
+            col = jnp.arange(tk_p) >= tk
+            ab = jnp.minimum(ab, jnp.where(col, -1e9, 0.0)[None, None, None, :])
+        ab = jnp.broadcast_to(ab, (b, ab.shape[1], tq_p, tk_p))
+        if ab.shape[1] == 1 and h > 1:
+            ab = jnp.broadcast_to(ab, (b, h, tq_p, tk_p))
+        out = flash_attention(
+            qt, kt, vt, ab=ab, causal=False, sm_scale=sm_scale,
+            block_sizes=block_sizes,
+        )
 
-    sm_scale = 1.0 / (dh**0.5)
-    out = flash_attention(qt, kt, vt, ab=ab, causal=False, sm_scale=sm_scale)
     out = jnp.transpose(out, (0, 2, 1, 3))
     if tq_p != tq:
         out = out[:, :tq]

@@ -148,17 +148,36 @@ def generate(
     # is KV-read-bound, so average speedup ~ C_max / C_avg.
     chunk = min(128, max_new_tokens)
     c0 = tpre + chunk
-    k_cache = jnp.zeros((num_layers, b, c0, h, dh), k_pre.dtype)
-    v_cache = jnp.zeros_like(k_cache)
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k_pre, (0, 0, 0, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v_pre, (0, 0, 0, 0, 0))
+    if cfg.kv_cache_dtype == "int8":
+        # int8 cache + per-(token, head) f32 scales: halves the KV read.
+        from valle_tpu.nn.attention import quantize_kv
+
+        k8, ks0 = quantize_kv(k_pre)
+        v8, vs0 = quantize_kv(v_pre)
+        k_cache = jnp.zeros((num_layers, b, c0, h, dh), jnp.int8)
+        v_cache = jnp.zeros_like(k_cache)
+        k_scale = jnp.zeros((num_layers, b, c0, h), jnp.float32)
+        v_scale = jnp.zeros_like(k_scale)
+        zero5, zero4 = (0, 0, 0, 0, 0), (0, 0, 0, 0)
+        cache = (
+            jax.lax.dynamic_update_slice(k_cache, k8, zero5),
+            jax.lax.dynamic_update_slice(v_cache, v8, zero5),
+            jax.lax.dynamic_update_slice(k_scale, ks0, zero4),
+            jax.lax.dynamic_update_slice(v_scale, vs0, zero4),
+        )
+    else:
+        k_cache = jnp.zeros((num_layers, b, c0, h, dh), k_pre.dtype)
+        v_cache = jnp.zeros_like(k_cache)
+        cache = (
+            jax.lax.dynamic_update_slice(k_cache, k_pre, (0, 0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(v_cache, v_pre, (0, 0, 0, 0, 0)),
+        )
 
     pre_valid = jnp.logical_not(key_pad_pre)  # (B, Tpre)
 
     tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32)
     state = (
-        k_cache,
-        v_cache,
+        cache,
         last_logits,
         tokens0,
         jnp.zeros((), jnp.int32),  # t
@@ -169,7 +188,7 @@ def generate(
 
     def make_cond(seg_end):
         def cond(state):
-            _, _, _, _, t, finished, _, _ = state
+            _, _, _, t, finished, _, _ = state
             return jnp.logical_and(
                 t < seg_end, jnp.logical_not(jnp.all(finished))
             )
@@ -177,8 +196,8 @@ def generate(
         return cond
 
     def body(state):
-        kc, vc, logits, tokens, t, finished, gen_len, key = state
-        c_seg = kc.shape[2]
+        cache, logits, tokens, t, finished, gen_len, key = state
+        c_seg = cache[0].shape[2]
         key_valid = jnp.concatenate(
             [pre_valid, jnp.zeros((b, c_seg - tpre), bool)], axis=1
         )
@@ -216,7 +235,7 @@ def generate(
             variables,
             tok[:, None],
             positions,
-            (kc, vc),
+            cache,
             tpre + t,
             bias,
             memory,
@@ -224,8 +243,7 @@ def generate(
             method="ar_decode_step",
         )
         return (
-            new_cache[0],
-            new_cache[1],
+            tuple(new_cache),
             logits2,
             tokens,
             t + 1,
@@ -238,12 +256,14 @@ def generate(
         state = jax.lax.while_loop(make_cond(seg_end), body, state)
         if seg_end < max_new_tokens:
             grow = min(chunk, max_new_tokens - seg_end)
-            kc, vc = state[0], state[1]
-            pad = ((0, 0), (0, 0), (0, grow), (0, 0), (0, 0))
-            state = (jnp.pad(kc, pad), jnp.pad(vc, pad)) + state[2:]
+            grown = tuple(
+                jnp.pad(c, ((0, 0), (0, 0), (0, grow)) + ((0, 0),) * (c.ndim - 3))
+                for c in state[0]
+            )
+            state = (grown,) + state[1:]
     if max_new_tokens % chunk:
         state = jax.lax.while_loop(make_cond(max_new_tokens), body, state)
-    _, _, _, tokens, _, _, gen_len, _ = state
+    _, _, tokens, _, _, gen_len, _ = state
 
     gen_valid = jnp.arange(max_new_tokens)[None, :] < gen_len[:, None]
     tokens = jnp.where(gen_valid, tokens, 0)
