@@ -36,7 +36,7 @@ from valle_tpu.data import (
 )
 from valle_tpu.data.text_tokenizer import TextTokenizer, tokenize_text
 from valle_tpu.models import add_model_arguments, config_from_args, get_model, str2bool
-from valle_tpu.sample import generate
+from valle_tpu.sample import continual, generate
 
 
 def get_args():
@@ -131,7 +131,6 @@ def main():
     text_prompts = " ".join(args.text_prompts.split("|"))
 
     # encode audio prompts (concatenated along time, ref infer.py:157-168)
-    prompt_codes = None
     if args.audio_prompts:
         assert codec is not None, "--codec-checkpoint required with audio prompts"
         segs = []
@@ -140,8 +139,38 @@ def main():
             wav = convert_audio(wav, sr, codec.sample_rate, codec.channels)
             segs.append(np.asarray(codec.encode(wav[None]))[0])  # (T', Q)
         prompt_codes = np.concatenate(segs, axis=0)[None]  # (1, P, Q)
+    else:
+        # promptless (unconditional) generation: a zero-length prompt region.
+        # Only meaningful for prefix-mode 0; the model then conditions on the
+        # text alone (the reference mostly assumes prompts and asserts).
+        prompt_codes = np.zeros((1, 0, cfg.num_quantizers), np.int32)
 
     rng = jax.random.PRNGKey(args.seed)
+
+    if args.continual:
+        # Continual task (ref infer.py:224-230): keep codebook 1 of the prompt
+        # codes, re-generate codebooks 2..Q for the region past the first
+        # min(T/2, 3 s); the synthesized text must be empty — only the prompt
+        # text conditions the NAR passes (ref asserts text == "").
+        assert args.audio_prompts, "--continual requires --audio-prompts"
+        assert args.text.strip() == "", "--continual requires empty --text"
+        tokens, lens = collater([tokenize_text(text_tokenizer, text_prompts)])
+        x = jnp.asarray(tokens, jnp.int32)
+        x_lens = jnp.asarray(lens, jnp.int32)
+        out = continual(
+            model, variables, x, x_lens, jnp.asarray(prompt_codes, jnp.int32)
+        )
+        length = int(out["lengths"][0])
+        codes = np.asarray(out["codes"][0, :length])  # (T', Q)
+        logging.info(f"continual: {length} frames ({length / 75:.2f}s)")
+        if codec is not None:
+            wav = np.asarray(codec.decode(codes[None]))[0]
+            path = args.output_dir / "continual.wav"
+            write_wav(str(path), wav, codec.sample_rate)
+            logging.info(f"wrote {path}")
+        np.save(args.output_dir / "continual_codes.npy", codes)
+        return
+
     for n, text in enumerate(args.text.split("|")):
         logging.info(f"synthesize text: {text}")
         tokens, lens = collater(

@@ -32,14 +32,17 @@ class TextTokenCollater:
         self.bos_symbol = bos_symbol
         self.eos_symbol = eos_symbol
 
-        unique_tokens = (
-            [pad_symbol]
-            + ([bos_symbol] if add_bos else [])
-            + ([eos_symbol] if add_eos else [])
-            + sorted(text_tokens)
-        )
-        self.token2idx = {t: i for i, t in enumerate(unique_tokens)}
-        self.idx2token = list(unique_tokens)
+        # Vocab-order contract: pad=0, then bos/eos (when enabled), then the
+        # corpus symbols in sorted order.  Checkpoints trained against a
+        # given .k2symbols file depend on these exact ids.
+        vocab: List[str] = [pad_symbol]
+        if add_bos:
+            vocab.append(bos_symbol)
+        if add_eos:
+            vocab.append(eos_symbol)
+        vocab.extend(sorted(text_tokens))
+        self.idx2token = vocab
+        self.token2idx = {tok: i for i, tok in enumerate(vocab)}
 
     @property
     def vocab_size(self) -> int:

@@ -1,115 +1,126 @@
 """k2-style symbol<->id table with file (de)serialization.
 
-Parity: ref /root/reference/valle/utils/symbol_table.py:31-287 — plain-text
-format of ``<symbol> <id>`` per line, ``<eps>`` id 0 by default.
+Format contract (ref /root/reference/valle/utils/symbol_table.py:31-287, and
+the k2 project's ``.k2symbols`` files): plain text, one ``<symbol> <id>`` pair
+per line, with ``<eps>`` occupying id 0 unless the file says otherwise.  The
+on-disk format must stay byte-compatible so tables written by the reference's
+``bin/tokenizer.py`` load here unchanged; the implementation below is
+otherwise independent.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
-from typing import Dict, Generic, List, Optional, TypeVar, Union
+from typing import Generic, List, Optional, TypeVar, Union
 
 Symbol = TypeVar("Symbol")
 
 
-@dataclasses.dataclass
 class SymbolTable(Generic[Symbol]):
-    _id2sym: Dict[int, Symbol] = dataclasses.field(default_factory=dict)
-    _sym2id: Dict[Symbol, int] = dataclasses.field(default_factory=dict)
-    _next_available_id: int = 1
-    eps: Symbol = "<eps>"
+    """Bidirectional symbol<->integer-id mapping.
 
-    def __post_init__(self):
-        for idx, sym in self._id2sym.items():
-            assert self._sym2id[sym] == idx
-        self._next_available_id = max(self._id2sym, default=0) + 1
-        if self.eps:
-            self._id2sym.setdefault(0, self.eps)
-            self._sym2id.setdefault(self.eps, 0)
+    Construct empty (optionally seeding epsilon at id 0), or via
+    :meth:`from_str` / :meth:`from_file` for the k2 text format.
+    """
+
+    def __init__(self, eps: Optional[Symbol] = "<eps>"):
+        self._by_id: dict = {}
+        self._by_sym: dict = {}
+        self.eps = eps
+        if eps is not None:
+            self._by_id[0] = eps
+            self._by_sym[eps] = 0
+
+    # -- construction -------------------------------------------------------
 
     @staticmethod
     def from_str(s: str) -> "SymbolTable":
-        id2sym: Dict[int, str] = {}
-        sym2id: Dict[str, int] = {}
-        for line in s.split("\n"):
+        table = SymbolTable(eps=None)
+        for lineno, line in enumerate(s.split("\n"), start=1):
             fields = line.split()
-            if len(fields) == 0:
+            if not fields:
                 continue
             if len(fields) != 2:
-                raise ValueError(f"Expect a line with 2 fields. Given: {line}")
+                raise ValueError(
+                    f"symbol-table line {lineno} is not '<symbol> <id>': "
+                    f"{line!r}"
+                )
             sym, idx = fields[0], int(fields[1])
-            if sym in sym2id:
-                raise RuntimeError(f"Duplicated symbol {sym}")
-            if idx in id2sym:
-                raise RuntimeError(f"Duplicated id {idx}")
-            id2sym[idx] = sym
-            sym2id[sym] = idx
-        eps = id2sym.get(0, "<eps>")
-        return SymbolTable(_id2sym=id2sym, _sym2id=sym2id, eps=eps)
+            if sym in table._by_sym:
+                raise RuntimeError(
+                    f"symbol {sym!r} appears twice (line {lineno})"
+                )
+            if idx in table._by_id:
+                raise RuntimeError(f"id {idx} appears twice (line {lineno})")
+            table._by_id[idx] = sym
+            table._by_sym[sym] = idx
+        table.eps = table._by_id.get(0, "<eps>")
+        return table
 
     @staticmethod
     def from_file(filename: Union[str, Path]) -> "SymbolTable":
-        with open(filename, "r", encoding="utf-8") as f:
-            return SymbolTable.from_str(f.read().strip())
+        text = Path(filename).read_text(encoding="utf-8")
+        return SymbolTable.from_str(text.strip())
+
+    # -- serialization ------------------------------------------------------
 
     def to_str(self) -> str:
-        return "\n".join(f"{sym} {idx}" for idx, sym in sorted(self._id2sym.items()))
+        lines = [f"{sym} {idx}" for idx, sym in sorted(self._by_id.items())]
+        return "\n".join(lines)
 
     def to_file(self, filename: Union[str, Path]) -> None:
-        with open(filename, "w", encoding="utf-8") as f:
-            for idx, symbol in sorted(self._id2sym.items()):
-                print(symbol, idx, file=f)
+        Path(filename).write_text(self.to_str() + "\n", encoding="utf-8")
+
+    # -- mutation -----------------------------------------------------------
 
     def add(self, symbol: Symbol, index: Optional[int] = None) -> int:
-        if symbol in self._sym2id:
-            return self._sym2id[symbol]
-        if index is not None and index in self._id2sym:
-            raise ValueError(f"id {index} is occupied")
+        existing = self._by_sym.get(symbol)
+        if existing is not None:
+            return existing
         if index is None:
-            index = self._next_available_id
-        self._id2sym[index] = symbol
-        self._sym2id[symbol] = index
-        self._next_available_id = max(self._next_available_id, index + 1)
+            index = max(self._by_id, default=-1) + 1
+        elif index in self._by_id:
+            raise ValueError(f"id {index} is occupied")
+        self._by_id[index] = symbol
+        self._by_sym[symbol] = index
         return index
-
-    def get(self, k: Union[int, Symbol]) -> Union[Symbol, int]:
-        if isinstance(k, int):
-            return self._id2sym[k]
-        return self._sym2id[k]
 
     def merge(self, other: "SymbolTable") -> "SymbolTable":
         self._check_compatible(other)
-        id2sym = dict(self._id2sym)
-        sym2id = dict(self._sym2id)
-        for idx, sym in other._id2sym.items():
-            id2sym.setdefault(idx, sym)
-        for sym, idx in other._sym2id.items():
-            sym2id.setdefault(sym, idx)
-        return SymbolTable(_id2sym=id2sym, _sym2id=sym2id, eps=self.eps)
+        merged = SymbolTable(eps=None)
+        merged.eps = self.eps
+        for src in (self, other):
+            for idx, sym in src._by_id.items():
+                merged._by_id.setdefault(idx, sym)
+            for sym, idx in src._by_sym.items():
+                merged._by_sym.setdefault(sym, idx)
+        return merged
 
     def _check_compatible(self, other: "SymbolTable") -> None:
         assert self.eps == other.eps, "mismatched epsilon"
-        for idx in set(self._id2sym) & set(other._id2sym):
-            assert self._id2sym[idx] == other._id2sym[idx], idx
-        for sym in set(self._sym2id) & set(other._sym2id):
-            assert self._sym2id[sym] == other._sym2id[sym], sym
+        for idx in self._by_id.keys() & other._by_id.keys():
+            assert self._by_id[idx] == other._by_id[idx], idx
+        for sym in self._by_sym.keys() & other._by_sym.keys():
+            assert self._by_sym[sym] == other._by_sym[sym], sym
+
+    # -- lookup -------------------------------------------------------------
+
+    def get(self, k: Union[int, Symbol]) -> Union[Symbol, int]:
+        return self._by_id[k] if isinstance(k, int) else self._by_sym[k]
 
     @property
     def ids(self) -> List[int]:
-        return sorted(self._id2sym)
+        return sorted(self._by_id)
 
     @property
     def symbols(self) -> List[Symbol]:
-        return sorted(self._sym2id.keys())
+        return sorted(self._by_sym)
 
     def __contains__(self, item) -> bool:
-        if isinstance(item, int):
-            return item in self._id2sym
-        return item in self._sym2id
+        return item in (self._by_id if isinstance(item, int) else self._by_sym)
 
     def __len__(self) -> int:
-        return len(self._id2sym)
+        return len(self._by_id)
 
     def __getitem__(self, item):
         return self.get(item)

@@ -39,6 +39,8 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--scaling-xformers", type=str2bool, default=False)
     parser.add_argument("--dtype", type=str, default="float32")
     parser.add_argument("--attn-impl", type=str, default="xla")
+    parser.add_argument("--kv-cache-dtype", type=str, default="model",
+                        help="model | int8 (int8 halves decode KV reads)")
 
 
 def config_from_args(args) -> ModelConfig:
@@ -57,6 +59,7 @@ def config_from_args(args) -> ModelConfig:
         scaling_xformers=args.scaling_xformers,
         dtype=getattr(args, "dtype", "float32"),
         attn_impl=getattr(args, "attn_impl", "xla"),
+        kv_cache_dtype=getattr(args, "kv_cache_dtype", "model"),
     )
 
 

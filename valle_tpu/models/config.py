@@ -47,6 +47,21 @@ class ModelConfig:
     # HBM stream (serving optimization; training and parity paths unaffected).
     kv_cache_dtype: str = "model"  # model | int8
 
+    def __post_init__(self):
+        if self.kv_cache_dtype not in ("model", "int8"):
+            raise ValueError(
+                f"kv_cache_dtype must be 'model' or 'int8', got "
+                f"{self.kv_cache_dtype!r}"
+            )
+        if self.attn_impl not in ("xla", "flash"):
+            raise ValueError(
+                f"attn_impl must be 'xla' or 'flash', got {self.attn_impl!r}"
+            )
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"dtype must be 'float32' or 'bfloat16', got {self.dtype!r}"
+            )
+
     @property
     def nar_decoder_dim(self) -> int:
         return int(self.decoder_dim * self.nar_scale_factor)
