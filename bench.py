@@ -1,39 +1,66 @@
-"""Benchmark: batched zero-shot generation throughput on one chip.
+"""Benchmark: batched zero-shot generation + flagship training step, one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line; the headline metric is generation throughput:
   {"metric": "audio_seconds_per_s_per_chip", "value": N, "unit": "s/s/chip",
-   "vs_baseline": N}
+   "vs_baseline": N, "train": {...}}
 
 The north-star target is >= 50 generated audio-seconds per wall second per
 chip (BASELINE.json); vs_baseline is value / 50.  The flagship config
-(decoder-dim 1024, 16 heads, 12 AR + 12 NAR layers, 8 codebooks) runs the
-full pipeline: AR KV-cache sampling loop + 7 NAR refinement passes.
-EnCodec frame rate 75 Hz converts tokens to audio seconds.
+(decoder-dim 1024, 16 heads, 12 AR + 12 NAR layers, 8 codebooks, bf16,
+int8 KV-cache — the measured best of the attn x cache sweep, see
+docs/perf_notes.md) runs the full pipeline: AR KV-cache sampling loop +
+7 NAR refinement passes.  EnCodec frame rate 75 Hz converts tokens to audio
+seconds.
+
+The "train" sub-object benchmarks BASELINE config 3 (AR training,
+max-duration-80-equivalent batch, bf16, grad-accum 4, ScaledAdam) and
+reports audio-frames/s, step time, and MFU against the chip's bf16 peak.
+
+Modes (for profiling; the driver runs plain `python bench.py`):
+  python bench.py                 # generate + train, one JSON line
+  python bench.py sweep           # attn_impl x kv_cache_dtype sweep
+  python bench.py phase           # AR-only vs full vs B=256 decomposition
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# bf16 peak FLOPs/s per chip by device kind (dense MXU peak).
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
 
 
-def main():
-    from valle_tpu import macros
+def _chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_BF16.items():
+        if kind.startswith(k):
+            return v
+    return 197e12  # default to v5e
+
+
+def _build_generate(batch=128, nq=8, attn_impl="xla", kv="int8", max_new=512):
     from valle_tpu.models import ModelConfig, VALLE
     from valle_tpu.sample import generate
 
-    cfg = ModelConfig(dtype="bfloat16")
+    cfg = ModelConfig(dtype="bfloat16", num_quantizers=nq,
+                      attn_impl=attn_impl, kv_cache_dtype=kv)
     model = VALLE(cfg)
     rng = jax.random.PRNGKey(0)
-
-    batch, s, p, max_new = 128, 64, 225, 512
-
+    s, p = 64, 225
     x = jax.random.randint(rng, (batch, s), 0, cfg.num_text_tokens)
     x_lens = jnp.full((batch,), s, jnp.int32)
     prompt = jax.random.randint(rng, (batch, p, cfg.num_quantizers), 0,
                                 cfg.num_audio_tokens)
-
     dummy_y = jax.random.randint(rng, (batch, 64, cfg.num_quantizers), 0,
                                  cfg.num_audio_tokens)
     init = jax.jit(
@@ -46,36 +73,128 @@ def main():
     variables = init(rng)
 
     def run(key):
-        return generate(
-            model, variables, key, x, x_lens, prompt,
-            top_k=10, temperature=1.0, max_new_tokens=max_new,
-            forbid_eos=True,  # measure full-length decode (no lucky EOS)
-        )
+        return generate(model, variables, key, x, x_lens, prompt,
+                        top_k=10, temperature=1.0, max_new_tokens=max_new,
+                        forbid_eos=True)  # full-length decode (no lucky EOS)
 
-    import numpy as np
+    return run
 
+
+def bench_generate(batch=128, nq=8, attn_impl="xla", kv="int8",
+                   iters=3, max_new=512, label=None):
+    from valle_tpu import macros
+
+    run = _build_generate(batch, nq, attn_impl, kv, max_new)
     # compile + warmup; NOTE: host transfer (np.asarray) is the sync point —
     # block_until_ready returns early through the axon tunnel.
     out = run(jax.random.PRNGKey(1))
     _ = np.asarray(out["codes"])
 
     t0 = time.perf_counter()
-    iters = 3
     total_tokens = 0
     for i in range(iters):
         out = run(jax.random.PRNGKey(2 + i))
         total_tokens += int(np.asarray(out["lengths"]).sum())
     dt = time.perf_counter() - t0
+    thr = total_tokens / macros.AUDIO_FRAME_RATE / dt
+    if label:
+        print(f"{label}: {dt/iters:.3f}s/iter  {thr:.1f} audio-s/s",
+              file=sys.stderr, flush=True)
+    return thr
 
-    audio_seconds = total_tokens / macros.AUDIO_FRAME_RATE
-    value = audio_seconds / dt
+
+def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1):
+    """Flagship AR training step (BASELINE config 3): bf16, grad-accum 4,
+    ~80 s of audio per micro-batch (8 utts x ~10 s at 75 Hz), ScaledAdam.
+
+    Returns {audio_frames_per_s, tokens_per_s, step_time_s, mfu}.
+    """
+    from valle_tpu.models import ModelConfig, VALLE
+    from valle_tpu.optim import eden_lr, scaled_adam
+    from valle_tpu.train.step import init_train_state, make_train_step
+
+    cfg = ModelConfig(dtype="bfloat16", remat=True)
+    model = VALLE(cfg)
+    tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0)
+
+    rng = jax.random.PRNGKey(0)
+    batch_arrays = {
+        "text_tokens": jax.random.randint(rng, (accum, batch, s), 0,
+                                          cfg.num_text_tokens),
+        "text_tokens_lens": jnp.full((accum, batch), s, jnp.int32),
+        "audio_features": jax.random.randint(
+            rng, (accum, batch, t, cfg.num_quantizers), 0,
+            cfg.num_audio_tokens),
+        "audio_features_lens": jnp.full((accum, batch), t, jnp.int32),
+    }
+    state = init_train_state(
+        model, tx, rng, jax.tree.map(lambda v: v[0], batch_arrays),
+        train_stage=train_stage,
+    )
+    step = make_train_step(
+        model, tx, lambda st, e: eden_lr(0.05, st, e),
+        train_stage=train_stage,
+    )
+    epoch = jnp.zeros((), jnp.int32)
+
+    # compile + warmup
+    state, metrics = step(state, batch_arrays, jax.random.PRNGKey(1), epoch)
+    _ = float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch_arrays,
+                              jax.random.PRNGKey(2 + i), epoch)
+    _ = float(metrics["loss"])  # sync
+    dt = (time.perf_counter() - t0) / iters
+
+    # --- MFU: analytic matmul+attention FLOPs of the AR decoder ------------
+    d, L, v = cfg.decoder_dim, cfg.num_layers, cfg.num_audio_tokens + 1
+    t_xy = s + t + 1  # text + audio + EOS position
+    n_tok = accum * batch * t_xy
+    per_tok_matmul = L * 12 * d * d  # qkv(3d^2) + out(d^2) + ffn(8d^2)
+    attn = accum * batch * L * 4 * t_xy * t_xy * d  # QK^T + AV, full mask
+    logits = accum * batch * (t + 1) * d * v
+    fwd = 2 * n_tok * per_tok_matmul + 2 * attn + 2 * logits
+    total = 3 * fwd  # backward ~ 2x forward
+    if train_stage == 0:
+        total *= 2  # NAR decoder (same dims) runs too
+    mfu = total / dt / _chip_peak_flops()
+
+    frames = accum * batch * t
+    return {
+        "audio_frames_per_s": round(frames / dt, 1),
+        "audio_s_per_s": round(frames / 75.0 / dt, 2),
+        "step_time_s": round(dt, 4),
+        "mfu": round(mfu, 4),
+        "config": f"AR stage{train_stage} bf16 accum{accum} B={batch} "
+                  f"S={s} T={t} ScaledAdam",
+    }
+
+
+def main():
+    value = bench_generate()
+    train = bench_train()
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
         "value": round(value, 3),
         "unit": "s/s/chip",
         "vs_baseline": round(value / 50.0, 3),
+        "train": train,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    mode = sys.argv[1] if len(sys.argv) > 1 else "main"
+    if mode == "sweep":
+        for a in ("xla", "flash"):
+            for k in ("model", "int8"):
+                bench_generate(attn_impl=a, kv=k, label=f"attn={a} kv={k}")
+    elif mode == "phase":
+        bench_generate(nq=1, label="AR-only (Q=1)")
+        bench_generate(nq=8, label="full (Q=8)")
+        bench_generate(batch=256, nq=8, label="B=256")
+    elif mode == "train":
+        print(json.dumps(bench_train()))
+    else:
+        main()

@@ -66,13 +66,23 @@ def test_stage_filtering():
 
 
 def test_grad_accumulation_equals_big_batch():
-    model = VALLE(CFG)
+    """With dropout off, grads accumulated over micro-batches must equal the
+    big-batch grads exactly (the loss is reduction='sum', ref trainer.py:
+    672-696), so the ScaledAdam updates — and therefore the post-step params
+    — must match to fp32 tolerance."""
+    cfg = CFG.replace(dropout=0.0)
+    model = VALLE(cfg)
     tx = scaled_adam(learning_rate=0.01, clipping_scale=None)
     big = _batch(a=1, b=8, seed=2)
+    # Parity caveat: the reference's AR loss targets EOS at every padded
+    # position up to the batch max(y_lens) (ref valle.py:322-333,877), so
+    # the loss is row-coupled through that max.  Accumulation matches the
+    # big batch exactly only when the micro-batches share the same
+    # max(y_lens) — pin the audio lens so they do.
+    t = big["audio_features"].shape[2]
+    big["audio_features_lens"] = jnp.full_like(big["audio_features_lens"], t)
     # same data split into two micro-batches
-    small = jax.tree.map(
-        lambda x: x.reshape((2, 4) + x.shape[2:]), big
-    )
+    small = jax.tree.map(lambda x: x.reshape((2, 4) + x.shape[2:]), big)
     s_big = init_train_state(
         model, tx, jax.random.PRNGKey(0), _flat_micro(big), train_stage=1
     )
@@ -81,20 +91,65 @@ def test_grad_accumulation_equals_big_batch():
         model, tx, jax.random.PRNGKey(0), _flat_micro(big), train_stage=1
     )
 
-    # pin the NAR stage so both runs see identical randomness: use stage 1
-    step_big = make_train_step(model, tx, lambda s, e: 0.01, train_stage=1)
-    step_small = make_train_step(model, tx, lambda s, e: 0.01, train_stage=1)
-    # dropout off is not an option in the step; instead compare with rng fixed
-    # but different micro split -> grads differ by dropout draw. Use loss sums
-    # as a weaker check plus param-shape integrity.
+    # stage 1 (AR-only) has no per-micro NAR stage draw; deterministic=True
+    # disables the hardcoded PE dropout so the two runs see identical math.
+    step_big = make_train_step(
+        model, tx, lambda s, e: 0.01, train_stage=1, deterministic=True
+    )
+    step_small = make_train_step(
+        model, tx, lambda s, e: 0.01, train_stage=1, deterministic=True
+    )
     s_big2, m_big = step_big(s_big, big, jax.random.PRNGKey(9), jnp.zeros((), jnp.int32))
     s_small2, m_small = step_small(
         s_small, small, jax.random.PRNGKey(9), jnp.zeros((), jnp.int32)
     )
-    # summed-loss magnitudes comparable (same data, different dropout draws)
-    assert abs(float(m_big["loss"]) - float(m_small["loss"])) / float(
-        m_big["loss"]
-    ) < 0.05
+    np.testing.assert_allclose(
+        float(m_big["loss"]), float(m_small["loss"]), rtol=1e-6
+    )
+    big_leaves, treedef = jax.tree_util.tree_flatten(s_big2.params)
+    small_leaves, treedef2 = jax.tree_util.tree_flatten(s_small2.params)
+    assert treedef == treedef2
+    for bl, sl in zip(big_leaves, small_leaves):
+        np.testing.assert_allclose(
+            np.asarray(bl, np.float32), np.asarray(sl, np.float32),
+            rtol=2e-5, atol=1e-7,
+        )
+
+
+def test_remat_grads_match():
+    """remat=True must be a pure memory/time trade: identical grads (to
+    recompute reordering noise) as the non-remat path."""
+    rng = np.random.RandomState(0)
+    b, s, t = 2, 8, 24
+    x = jnp.asarray(rng.randint(0, 512, (b, s)), jnp.int32)
+    xl = jnp.asarray([8, 6], jnp.int32)
+    y = jnp.asarray(rng.randint(0, 1024, (b, t, 8)), jnp.int32)
+    yl = jnp.asarray([24, 20], jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    grads = {}
+    for remat in (False, True):
+        cfg = CFG.replace(dropout=0.0, remat=remat)
+        model = VALLE(cfg)
+        variables = model.init(
+            {"params": key, "stage": key}, x, xl, y, yl, train_stage=0,
+            deterministic=True, nar_stage=jnp.asarray(2),
+        )
+
+        def loss(params):
+            out = model.apply(
+                {"params": params}, x, xl, y, yl, train_stage=0,
+                deterministic=True, nar_stage=jnp.asarray(2),
+            )
+            return out["loss"]
+
+        grads[remat] = jax.grad(loss)(variables["params"])
+
+    for a, b_ in zip(jax.tree_util.tree_leaves(grads[False]),
+                     jax.tree_util.tree_leaves(grads[True])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=5e-5
+        )
 
 
 def test_sharded_step_on_mesh():

@@ -1,0 +1,137 @@
+"""Transformer TTS baseline end-to-end training path: Fbank tokenization CLI
+-> float16 feature shards -> bucketed loader -> bin/train (VERDICT r1 gap #2;
+ref datamodule.py:236-304, bin/tokenizer.py:148-149, transformer.py:222-318).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from valle_tpu import macros
+from valle_tpu.data import Manifest, get_text_token_collater
+from valle_tpu.data.audio_io import write_wav
+from valle_tpu.data.dataset import TtsDataLoader
+from valle_tpu.data.vshard import VShardReader, VShardWriter
+
+TEXTS = [
+    "hello world",
+    "this is a test",
+    "the quick brown fox",
+    "jumps over the lazy dog",
+    "speech synthesis",
+    "neural codec language models",
+    "zero shot text to speech",
+    "transformer baseline",
+]
+
+
+def test_vsf_shard_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    arrays = [rng.randn(t, 100).astype(np.float32) for t in (17, 50, 3)]
+    path = tmp_path / "feat_000.vsf"
+    with VShardWriter(path, 100, dtype=np.float16) as w:
+        for a in arrays:
+            w.add(a)
+    r = VShardReader(path)
+    assert r.dtype == np.float16 and len(r) == 3
+    for i, a in enumerate(arrays):
+        got = r[i]
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, a.astype(np.float16), rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def fbank_corpus(tmp_path_factory, request):
+    """Synthetic wav corpus tokenized through the real CLI in Fbank mode."""
+    root = tmp_path_factory.mktemp("fbank_corpus")
+    wav_dir = root / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.RandomState(0)
+    lines = []
+    for i, text in enumerate(TEXTS):
+        dur = float(rng.uniform(0.8, 2.0))
+        n = int(dur * macros.SAMPLE_RATE)
+        t = np.arange(n) / macros.SAMPLE_RATE
+        wav = (0.3 * np.sin(2 * np.pi * (200 + 40 * i) * t)).astype(np.float32)
+        path = wav_dir / f"utt{i:03d}.wav"
+        write_wav(str(path), wav, macros.SAMPLE_RATE)
+        lines.append(f"utt{i:03d}\t{path}\t{text}")
+    tsv = root / "train.tsv"
+    tsv.write_text("\n".join(lines) + "\n")
+
+    from valle_tpu.bin import tokenize_dataset
+
+    argv = [
+        "tokenize", "--tsv", str(tsv), "--output-dir", str(root / "tok"),
+        "--split", "train", "--audio-extractor", "Fbank",
+        "--text-extractor", "chars",
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        tokenize_dataset.main()
+    finally:
+        sys.argv = old
+    return root / "tok"
+
+
+def test_fbank_corpus_layout(fbank_corpus):
+    m = Manifest.load(fbank_corpus / "manifest_train.jsonl.gz")
+    assert len(m) == len(TEXTS)
+    assert m.uses_float_features()
+    assert not m.uses_vshards()
+    feats = m.codes(0)
+    assert feats.dtype == np.float32 and feats.shape[1] == macros.NUM_MEL_BINS
+    r = m.records[0]
+    assert r["feature_dim"] == macros.NUM_MEL_BINS
+    # 93.75 Hz frame rate: frames ~= duration * 24000/256
+    expect = r["duration"] * macros.SAMPLE_RATE / macros.FBANK_HOP
+    assert abs(feats.shape[0] - expect) <= 2
+
+
+def test_fbank_loader_batches(fbank_corpus):
+    m = Manifest.load(fbank_corpus / "manifest_train.jsonl.gz")
+    collater = get_text_token_collater(
+        str(fbank_corpus / "unique_text_tokens.k2symbols")
+    )
+    loader = TtsDataLoader(m, collater, max_duration=6.0, num_buckets=2,
+                           seed=0)
+    assert abs(loader.frame_rate - 93.75) < 1e-6
+    loader.set_epoch(0)
+    batch = next(iter(loader))
+    feats = batch["audio_features"]
+    assert feats.dtype == np.float32
+    assert feats.shape[-1] == macros.NUM_MEL_BINS
+    lens = batch["audio_features_lens"]
+    mask = batch["example_mask"]
+    assert (lens[mask] > 0).all()
+
+
+def test_transformer_trains_end_to_end(fbank_corpus, tmp_path):
+    """bin/train --model-name Transformer on the fbank corpus: runs a full
+    (tiny) epoch, writes a checkpoint, loss is finite."""
+    from valle_tpu.bin import train as train_cli
+
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    args = train_cli.get_parser().parse_args([
+        "--manifest-dir", str(fbank_corpus),
+        "--exp-dir", str(exp),
+        "--model-name", "Transformer",
+        "--decoder-dim", "64", "--nhead", "4", "--num-decoder-layers", "2",
+        "--num-epochs", "1",
+        "--max-duration", "8.0",
+        "--num-buckets", "2",
+        "--optimizer-name", "ScaledAdam",
+        "--base-lr", "0.02",
+        "--oom-check", "false",
+        "--tensorboard", "false",
+        "--valid-interval", "100000",
+        "--save-every-n", "0",
+    ])
+    train_cli.run(args)
+    ckpts = list((exp / "checkpoints").iterdir())
+    assert ckpts, "no checkpoint written"
+    log = (exp / "log.txt").read_text()
+    assert "epoch 1 done" in log

@@ -37,7 +37,12 @@ def get_args():
                    help="utt_id\\twav_path\\ttext per line")
     p.add_argument("--output-dir", type=Path, required=True)
     p.add_argument("--split", type=str, default="train")
-    p.add_argument("--codec-checkpoint", type=str, required=True)
+    p.add_argument("--codec-checkpoint", type=str, default="",
+                   help="required for --audio-extractor Encodec")
+    p.add_argument("--audio-extractor", type=str, default="Encodec",
+                   choices=["Encodec", "Fbank"],
+                   help="Encodec codes (VALL-E) or BigVGAN fbank features "
+                   "(Transformer baseline, ref bin/tokenizer.py:81,148)")
     p.add_argument("--text-extractor", type=str, default="espeak")
     p.add_argument("--batch-frames", type=int, default=8,
                    help="wavs encoded per device batch (padded to max len)")
@@ -47,14 +52,49 @@ def get_args():
     return p.parse_args()
 
 
+def _fbank_main(args, rows, tokenizer):
+    """Fbank mode: BigVGAN log-mel features into float16 (VSF1) shards for
+    the Transformer TTS baseline (ref bin/tokenizer.py:148-149)."""
+    from valle_tpu.data.fbank import get_fbank_extractor
+
+    extractor = get_fbank_extractor()
+    symbols = SymbolTable()
+    records = []
+    with CodeShardWriter(
+        args.output_dir, prefix=f"fbank_{args.split}", fmt="vsf",
+        num_quantizers=macros.NUM_MEL_BINS,
+    ) as w:
+        for i, (utt_id, wav_path, text) in enumerate(rows):
+            wav, sr = read_wav(wav_path)
+            wav = convert_audio(wav, sr, macros.SAMPLE_RATE, 1)
+            feats = extractor.extract(wav[0], macros.SAMPLE_RATE)  # (T, 100)
+            shard, key = w.write(utt_id, feats.astype(np.float16))
+            tokens = tokenize_text(tokenizer, text)
+            for s in tokens:
+                symbols.add(s)
+            records.append(
+                {
+                    "id": utt_id,
+                    "text": text,
+                    "tokens": tokens,
+                    "duration": wav.shape[-1] / macros.SAMPLE_RATE,
+                    "shard": shard,
+                    "key": key,
+                    "feature_dim": macros.NUM_MEL_BINS,
+                }
+            )
+            if i % 200 == 0:
+                logging.info(f"{i + 1}/{len(rows)}")
+    Manifest.save(iter(records), args.output_dir / f"manifest_{args.split}.jsonl.gz")
+    symbols.to_file(args.output_dir / "unique_text_tokens.k2symbols")
+    logging.info(f"wrote fbank manifest + symbols to {args.output_dir}")
+
+
 def main():
     args = get_args()
     logging.basicConfig(level=logging.INFO, force=True)
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
-    from valle_tpu.bin.infer import load_codec
-
-    codec = load_codec(args.codec_checkpoint)
     tokenizer = TextTokenizer(backend=args.text_extractor)
 
     rows = []
@@ -62,6 +102,14 @@ def main():
         utt_id, wav_path, text = line.split("\t", 2)
         rows.append((utt_id, wav_path, text))
     logging.info(f"{len(rows)} utterances")
+
+    if args.audio_extractor == "Fbank":
+        return _fbank_main(args, rows, tokenizer)
+
+    from valle_tpu.bin.infer import load_codec
+
+    assert args.codec_checkpoint, "--codec-checkpoint required for Encodec"
+    codec = load_codec(args.codec_checkpoint)
 
     symbols = SymbolTable()
     records = []

@@ -105,6 +105,11 @@ def run(args):
     cfg = config_from_args(args)
     model = get_model(cfg)
     logging.info(f"model config: {cfg}")
+    if cfg.model_name.lower() == "transformer" and args.train_stage != 0:
+        raise ValueError(
+            "the Transformer baseline has no AR/NAR stages; use "
+            "--train-stage 0"
+        )
 
     collater = get_text_token_collater(str(args.manifest_dir / args.text_tokens))
     manifest = Manifest.load(args.manifest_dir / "manifest_train.jsonl.gz")
@@ -322,16 +327,23 @@ def scan_batch_shapes_for_oom(args, cfg, loader, step_fn, state, train_mesh):
     rng = np.random.RandomState(0)
     a = args.accumulate_grad_steps
     scan_state = jax.tree.map(jnp.copy, state)
+    float_features = loader.dataset.float_features
     with train_mesh:
         for s, t, bsz in shapes:
+            if float_features:  # mel features (Transformer baseline)
+                audio = rng.randn(a, bsz, t, cfg.num_mel_bins).astype(
+                    np.float32
+                )
+            else:
+                audio = rng.randint(
+                    0, cfg.num_audio_tokens, (a, bsz, t, cfg.num_quantizers)
+                ).astype(np.int32)
             arrays = {
                 "text_tokens": rng.randint(
                     1, cfg.num_text_tokens, (a, bsz, s)
                 ).astype(np.int32),
                 "text_tokens_lens": np.full((a, bsz), s, np.int32),
-                "audio_features": rng.randint(
-                    0, cfg.num_audio_tokens, (a, bsz, t, cfg.num_quantizers)
-                ).astype(np.int32),
+                "audio_features": audio,
                 "audio_features_lens": np.full((a, bsz), t, np.int32),
                 "example_mask": np.ones((a, bsz), bool),
             }
@@ -382,7 +394,8 @@ def run_validation(
         frames += float(out["frames"])
         if first is None:
             first = batch
-    if args.visualize and model is not None and first is not None:
+    if (args.visualize and model is not None and first is not None
+            and args.model_name.lower() != "transformer"):
         from valle_tpu.models.visualizer import visualize
 
         enc, dec = model.apply(

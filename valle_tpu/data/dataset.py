@@ -35,6 +35,9 @@ class SpeechSynthesisDataset:
     def __init__(self, manifest: Manifest, collater: TextTokenCollater):
         self.manifest = manifest
         self.collater = collater
+        # fbank manifests (.vsf float16 shards) carry mel features for the
+        # Transformer baseline; gathered as float32 via the numpy path.
+        self.float_features = manifest.uses_float_features()
         self._native = None
         if manifest.uses_vshards():
             from valle_tpu.data import native_loader
@@ -55,7 +58,8 @@ class SpeechSynthesisDataset:
             si = [self._shard_index[r["shard"]] for r in recs]
             ri = [int(r["key"]) for r in recs]
             return self._native.gather_pad(si, ri, t, num_q)
-        codes = np.zeros((len(indices), t, num_q), np.int32)
+        dtype = np.float32 if self.float_features else np.int32
+        codes = np.zeros((len(indices), t, num_q), dtype)
         code_lens = np.zeros((len(indices),), np.int32)
         for k, i in enumerate(indices):
             c = self.manifest.codes(i)
@@ -77,13 +81,15 @@ class SpeechSynthesisDataset:
         s, t = spec.max_text_len, spec.max_audio_len
         text = np.zeros((b, s), np.int32)
         text[:, : token_ids.shape[1]] = token_ids[:, :s]
-        num_q = int(real0.get("num_quantizers") or 8)
+        num_q = int(
+            real0.get("feature_dim") or real0.get("num_quantizers") or 8
+        )
         codes, code_lens = self._gather_codes(
             [i for i in indices if i >= 0], t, num_q
         )
         mask = np.array([i >= 0 for i in indices], bool)
         if not mask.all():
-            full = np.zeros((b, t, num_q), np.int32)
+            full = np.zeros((b, t, num_q), codes.dtype)
             full_lens = np.zeros((b,), np.int32)
             full[mask], full_lens[mask] = codes, code_lens
             codes, code_lens = full, full_lens
@@ -122,8 +128,17 @@ class TtsDataLoader:
         min_duration: float = 0.0,
         max_utt_duration: float = float("inf"),
         batch_quant: int = 8,
+        frame_rate: Optional[float] = None,  # default: EnCodec 75 Hz; fbank
+        # manifests use 24000/256 = 93.75 Hz (auto-detected)
     ):
         self.dataset = SpeechSynthesisDataset(manifest, collater)
+        if frame_rate is None:
+            frame_rate = (
+                macros.SAMPLE_RATE / macros.FBANK_HOP
+                if self.dataset.float_features
+                else macros.AUDIO_FRAME_RATE
+            )
+        self.frame_rate = frame_rate
         self.manifest = manifest
         self.accum = accum_steps
         # duration filtering (ref trainer.py:832-846)
@@ -136,7 +151,7 @@ class TtsDataLoader:
         durations = [manifest.records[i]["duration"] for i in keep]
         text_lens = [len(manifest.records[i]["tokens"]) + 2 for i in keep]
         audio_lens = [
-            int(round(manifest.records[i]["duration"] * macros.AUDIO_FRAME_RATE))
+            int(round(manifest.records[i]["duration"] * self.frame_rate))
             for i in keep
         ]
         self.sampler = DynamicBucketingSampler(

@@ -31,6 +31,7 @@ class CodeShardWriter:
     def __init__(self, out_dir: str | Path, prefix: str = "codes",
                  max_per_shard: int = 50000, fmt: str = "vsh",
                  num_quantizers: int = 8):
+        # fmt: "vsh" int16 codes | "vsf" float16 features (fbank) | "h5"
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.prefix = prefix
@@ -47,10 +48,14 @@ class CodeShardWriter:
         self._close_current()
         self._shard_idx += 1
         self._count = 0
-        ext = "vsh" if self.fmt == "vsh" else "h5"
+        ext = self.fmt if self.fmt in ("vsh", "vsf") else "h5"
         self._path = self.out_dir / f"{self.prefix}_{self._shard_idx:03d}.{ext}"
         if self.fmt == "vsh":
             self._vsh = VShardWriter(self._path, self.num_q)
+        elif self.fmt == "vsf":
+            import numpy as _np
+
+            self._vsh = VShardWriter(self._path, self.num_q, dtype=_np.float16)
         else:
             import h5py
 
@@ -65,7 +70,7 @@ class CodeShardWriter:
         if self._count >= self.max_per_shard:
             self._open_next()
         self._count += 1
-        if self.fmt == "vsh":
+        if self.fmt in ("vsh", "vsf"):
             rec = self._vsh.add(codes)
             return self._path.name, rec
         self._h5.create_dataset(key, data=codes.astype(np.int16))
@@ -132,9 +137,14 @@ class Manifest:
     def uses_vshards(self) -> bool:
         return all(n.endswith(".vsh") for n in self.shard_names())
 
+    def uses_float_features(self) -> bool:
+        """True for fbank (VSF1 float16) shards — the Transformer baseline's
+        mel-feature path (ref bin/tokenizer.py:148-149)."""
+        return all(n.endswith(".vsf") for n in self.shard_names())
+
     def _reader(self, shard: str):
         if shard not in self._open:
-            if shard.endswith(".vsh"):
+            if shard.endswith((".vsh", ".vsf")):
                 self._open[shard] = VShardReader(self.root / shard)
             else:
                 import h5py
@@ -145,7 +155,7 @@ class Manifest:
     def codes(self, i: int) -> np.ndarray:
         r = self.records[i]
         reader = self._reader(r["shard"])
-        if r["shard"].endswith(".vsh"):
+        if r["shard"].endswith((".vsh", ".vsf")):
             return reader[int(r["key"])]
         return np.asarray(reader[r["key"]], dtype=np.int64)
 

@@ -20,3 +20,8 @@ AUDIO_BOS_ID = NUM_AUDIO_TOKENS + 1
 AUDIO_SAMPLE_RATE = 24000
 AUDIO_HOP = 320
 AUDIO_FRAME_RATE = AUDIO_SAMPLE_RATE // AUDIO_HOP  # 75
+SAMPLE_RATE = AUDIO_SAMPLE_RATE
+
+# BigVGAN fbank hop (ref data/fbank.py:70-76): 256 samples at 24 kHz
+# -> 93.75 frames/s mel features for the Transformer baseline
+FBANK_HOP = 256

@@ -41,6 +41,9 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--attn-impl", type=str, default="xla")
     parser.add_argument("--kv-cache-dtype", type=str, default="model",
                         help="model | int8 (int8 halves decode KV reads)")
+    parser.add_argument("--remat", type=str2bool, default=False,
+                        help="rematerialize transformer layers in backward "
+                        "(fits the flagship train step on a 16 GB chip)")
 
 
 def config_from_args(args) -> ModelConfig:
@@ -60,6 +63,7 @@ def config_from_args(args) -> ModelConfig:
         dtype=getattr(args, "dtype", "float32"),
         attn_impl=getattr(args, "attn_impl", "xla"),
         kv_cache_dtype=getattr(args, "kv_cache_dtype", "model"),
+        remat=getattr(args, "remat", False),
     )
 
 

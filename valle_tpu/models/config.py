@@ -46,6 +46,12 @@ class ModelConfig:
     # scales.  Decode is KV-read-bound, so int8 nearly halves the dominant
     # HBM stream (serving optimization; training and parity paths unaffected).
     kv_cache_dtype: str = "model"  # model | int8
+    # Rematerialize each transformer layer in the backward pass
+    # (jax.checkpoint around the scanned layer body).  Cuts training HBM from
+    # O(L * T^2) attention probs to one layer's worth — required to fit the
+    # flagship config's backward on a 16 GB chip — for ~1/3 extra forward
+    # FLOPs.  No effect on inference.
+    remat: bool = False
 
     def __post_init__(self):
         if self.kv_cache_dtype not in ("model", "int8"):

@@ -23,6 +23,11 @@ from valle_tpu.ops import masks as mask_ops
 class TransformerTTS(nn.Module):
     cfg: ModelConfig
 
+    @staticmethod
+    def metric_names(train_stage: int):
+        del train_stage  # the baseline has no AR/NAR stages
+        return ["loss", "mel_loss", "stop_loss", "frames"]
+
     def setup(self):
         cfg = self.cfg
         d = cfg.decoder_dim
@@ -44,6 +49,7 @@ class TransformerTTS(nn.Module):
             out_init_scale=0.01 if sx else 1.0,
             dtype=dt,
             attn_impl=cfg.attn_impl,
+            remat=cfg.remat,
         )
         self.text_embedding = TokenEmbedding(d, cfg.num_text_tokens)
         self.text_position = SinePositionalEmbedding(
@@ -93,15 +99,21 @@ class TransformerTTS(nn.Module):
         *,
         train_stage: int = 0,
         deterministic: bool = False,
+        example_mask: jnp.ndarray = None,
         **_: object,
     ) -> Dict[str, jnp.ndarray]:
-        """x (B,S) int tokens; y (B,T,M) float mels."""
+        """x (B,S) int tokens; y (B,T,M) float mels.  ``example_mask`` marks
+        real rows (False = shape-padding dummy, excluded from the loss)."""
         del train_stage
         cfg = self.cfg
         b, s = x.shape
         t = y.shape[1]
         x_mask = mask_ops.make_pad_mask(x_lens, s)
         y_mask = mask_ops.make_pad_mask(y_lens, t)
+        if example_mask is not None:
+            y_mask = jnp.logical_or(
+                y_mask, jnp.logical_not(example_mask)[:, None]
+            )
 
         enc = self.encode(x, x_mask, deterministic)
 
@@ -140,6 +152,8 @@ class TransformerTTS(nn.Module):
         loss_mask = jnp.arange(t)[None, :] < jnp.maximum(
             y_lens[:, None], 1
         )
+        if example_mask is not None:
+            loss_mask = jnp.logical_and(loss_mask, example_mask[:, None])
         stop_loss = jnp.sum(bce * loss_mask) / jnp.maximum(
             jnp.sum(loss_mask), 1.0
         )

@@ -108,6 +108,17 @@ class VALLE(nn.Module):
     cfg: ModelConfig
     variant: str = "valle"  # "valle" | "vallf"
 
+    @staticmethod
+    def metric_names(train_stage: int):
+        """Keys of the forward() output dict at this train stage (used by the
+        train step to pre-shape the metric accumulator)."""
+        return {
+            0: ["loss", "ar_loss", "nar_loss", "ArTop10Accuracy",
+                "NarTop10Accuracy", "frames"],
+            1: ["loss", "ar_loss", "ArTop10Accuracy", "frames"],
+            2: ["loss", "nar_loss", "NarTop10Accuracy", "frames"],
+        }[train_stage]
+
     def setup(self):
         cfg = self.cfg
         d = cfg.decoder_dim
@@ -140,6 +151,7 @@ class VALLE(nn.Module):
             final_norm=cfg.norm_first,
             dtype=dt,
             attn_impl=cfg.attn_impl,
+            remat=cfg.remat,
         )
         self.ar_predict_layer = nn.Dense(
             cfg.num_audio_tokens + 1, use_bias=False, dtype=dt
@@ -178,6 +190,7 @@ class VALLE(nn.Module):
                 final_norm=cfg.norm_first,
                 dtype=dt,
                 attn_impl=cfg.attn_impl,
+                remat=cfg.remat,
             )
             # Prediction weights, Dense-kernel layout (nd, V), stacked (Q-1,..).
             if cfg.share_embedding:

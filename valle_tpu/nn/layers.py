@@ -254,6 +254,7 @@ class TransformerStack(nn.Module):
     out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False  # jax.checkpoint each layer (training memory saver)
 
     @nn.compact
     def __call__(
@@ -269,8 +270,14 @@ class TransformerStack(nn.Module):
         deterministic: bool = True,
         return_kv: bool = False,
     ):
+        layer_cls = TransformerLayer
+        if self.remat:
+            # Recompute the layer in the backward pass instead of saving its
+            # O(T^2) attention probs; prevent_cse=False is safe (and faster)
+            # under scan per the jax.checkpoint docs.
+            layer_cls = nn.remat(layer_cls, prevent_cse=False)
         scan = nn.scan(
-            TransformerLayer,
+            layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(

@@ -90,20 +90,32 @@ def flash_attention_biased(
 
     sm_scale = 1.0 / (dh**0.5)
     bq, bk = _pick_block(tq_p), _pick_block(tk_p)
+    # The 1024-sized blocks were tuned on the FORWARD pass only; the backward
+    # kernels (dkv/dq) keep extra f32 score/ds tiles live, so cap their blocks
+    # at 512 to stay within VMEM on smaller-VMEM TPU generations until the
+    # backward is measured.
+    bq_b, bk_b = min(bq, 512), min(bk, 512)
     block_sizes = BlockSizes(
         block_q=bq,
         block_k_major=bk,
         block_k=bk,
         block_b=1,
-        block_q_major_dkv=bq,
-        block_k_major_dkv=bk,
-        block_k_dkv=bk,
-        block_q_dkv=bq,
-        block_k_major_dq=bk,
-        block_k_dq=bk,
-        block_q_dq=bq,
+        block_q_major_dkv=bq_b,
+        block_k_major_dkv=bk_b,
+        block_k_dkv=bk_b,
+        block_q_dkv=bq_b,
+        block_k_major_dq=bk_b,
+        block_k_dq=bk_b,
+        block_q_dq=bq_b,
     )
 
+    # CONTRACT: a (B, 1, 1, Tk) bias is treated as a hard key-padding MASK —
+    # entries must be exactly 0 (visible) or <= -1e8 (masked).  A soft
+    # additive bias of that shape (finite nonzero entries) would be silently
+    # binarized, so such callers must fall back to the dense ``ab`` path.
+    # All in-repo callers build (B, 1, 1, Tk) biases via
+    # ``mask_ops.mask_to_bias`` ({0, -1e9} by construction), satisfying the
+    # contract; the value is traced, so it cannot be checked here.
     key_pad_only = bias is None or (bias.shape[1] == 1 and bias.shape[2] == 1)
     if key_pad_only:
         # All (real) queries see the same key-validity row: encode it as

@@ -41,6 +41,7 @@ def make_train_step(
     train_stage: int = 0,
     clip_grad_norm: Optional[float] = None,  # 1.0 for Adam/AdamW (ref :687-692)
     average_period: int = 0,  # 0 disables model averaging
+    deterministic: bool = False,  # True disables all dropout (tests/debug)
 ):
     """Returns ``step(state, batch, rng, epoch) -> (state, metrics)``.
 
@@ -64,7 +65,7 @@ def make_train_step(
             micro["audio_features"],
             micro["audio_features_lens"],
             train_stage=train_stage,
-            deterministic=False,
+            deterministic=deterministic,
             rngs=rngs,
             **kw,
         )
@@ -94,12 +95,8 @@ def make_train_step(
         zeros = jax.tree.map(
             lambda p: jnp.zeros(p.shape, jnp.float32), train_params
         )
-        # metric keys depend on train_stage; trace one micro to get them
-        metric_names = {
-            0: ["loss", "ar_loss", "nar_loss", "ArTop10Accuracy", "NarTop10Accuracy", "frames"],
-            1: ["loss", "ar_loss", "ArTop10Accuracy", "frames"],
-            2: ["loss", "nar_loss", "NarTop10Accuracy", "frames"],
-        }[train_stage]
+        # metric keys depend on the model and train_stage
+        metric_names = model.metric_names(train_stage)
         metrics0 = {k: jnp.zeros((), jnp.float32) for k in metric_names}
         (grads, metrics), _ = jax.lax.scan(
             micro_step, (zeros, metrics0), (batch, keys)
