@@ -62,15 +62,18 @@ def fbank_corpus(tmp_path_factory, request):
 
     from valle_tpu.bin import tokenize_dataset
 
-    argv = [
-        "tokenize", "--tsv", str(tsv), "--output-dir", str(root / "tok"),
-        "--split", "train", "--audio-extractor", "Fbank",
-        "--text-extractor", "chars",
-    ]
+    dev_tsv = root / "dev.tsv"
+    dev_tsv.write_text("\n".join(lines[:2]) + "\n")
+
     old = sys.argv
-    sys.argv = argv
     try:
-        tokenize_dataset.main()
+        for split, f in (("train", tsv), ("dev", dev_tsv)):
+            sys.argv = [
+                "tokenize", "--tsv", str(f), "--output-dir",
+                str(root / "tok"), "--split", split,
+                "--audio-extractor", "Fbank", "--text-extractor", "chars",
+            ]
+            tokenize_dataset.main()
     finally:
         sys.argv = old
     return root / "tok"
@@ -127,7 +130,7 @@ def test_transformer_trains_end_to_end(fbank_corpus, tmp_path):
         "--base-lr", "0.02",
         "--oom-check", "false",
         "--tensorboard", "false",
-        "--valid-interval", "100000",
+        "--valid-interval", "2",
         "--save-every-n", "0",
     ])
     train_cli.run(args)
@@ -135,3 +138,5 @@ def test_transformer_trains_end_to_end(fbank_corpus, tmp_path):
     assert ckpts, "no checkpoint written"
     log = (exp / "log.txt").read_text()
     assert "epoch 1 done" in log
+    # the dev manifest drove the (mesh-sharded) validation path
+    assert "validation at step" in log

@@ -61,13 +61,18 @@ def get_args():
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--continual", type=str2bool, default=False)
+    parser.add_argument("--use-averaged-model", type=str2bool, default=False,
+                        help="load the running model average saved by the "
+                        "trainer's --average-period instead of the raw "
+                        "params (icefall-style eval weights)")
     parser.add_argument("--seed", type=int, default=0)
     return parser.parse_args()
 
 
-def load_model_params(path: str, cfg, variant: str):
+def load_model_params(path: str, cfg, variant: str, use_averaged=False):
     p = Path(path)
     if p.suffix == ".npz":
+        assert not use_averaged, ".npz checkpoints carry no averaged model"
         flat = dict(np.load(p, allow_pickle=False))
         return unflatten(flat)
     if p.suffix == ".pt":
@@ -75,6 +80,7 @@ def load_model_params(path: str, cfg, variant: str):
 
         from valle_tpu.utils.convert_reference import convert_state_dict
 
+        assert not use_averaged, ".pt checkpoints carry no averaged model"
         sd = torch.load(p, map_location="cpu", weights_only=False)
         if "model" in sd:
             sd = sd["model"]
@@ -84,6 +90,18 @@ def load_model_params(path: str, cfg, variant: str):
     import orbax.checkpoint as ocp
 
     restored = ocp.StandardCheckpointer().restore(p.absolute())
+    if use_averaged:
+        avg = restored.get("model_avg")
+        assert avg is not None, (
+            f"{path} has no model_avg (train with --average-period > 0)"
+        )
+        # averaged weights are kept f32; cast to each param's stored dtype
+        params = restored["params"] if "params" in restored else None
+        if params is not None:
+            return jax.tree.map(
+                lambda a, q: jnp.asarray(a, jnp.asarray(q).dtype), avg, params
+            )
+        return jax.tree.map(jnp.asarray, avg)
     params = restored["params"] if "params" in restored else restored
     return jax.tree.map(jnp.asarray, params)
 
@@ -121,7 +139,10 @@ def main():
     cfg = config_from_args(args)
     variant = "vallf" if cfg.model_name.lower() in ("vall-f", "vallf") else "valle"
     model = get_model(cfg)
-    params = load_model_params(args.checkpoint, cfg, variant)
+    params = load_model_params(
+        args.checkpoint, cfg, variant,
+        use_averaged=args.use_averaged_model,
+    )
     variables = {"params": params}
 
     text_tokenizer = TextTokenizer(backend=args.text_extractor)

@@ -31,6 +31,16 @@ from valle_tpu.data import (
 from valle_tpu.data.text_tokenizer import TextTokenizer, tokenize_text
 
 
+def _load_or_new_symbols(out_dir: Path) -> SymbolTable:
+    """Resume the symbol table across splits: tokenizing dev after train must
+    EXTEND unique_text_tokens.k2symbols, not overwrite it (ids already baked
+    into earlier manifests stay stable)."""
+    path = out_dir / "unique_text_tokens.k2symbols"
+    if path.exists():
+        return SymbolTable.from_file(path)
+    return SymbolTable()
+
+
 def get_args():
     p = argparse.ArgumentParser()
     p.add_argument("--tsv", type=Path, required=True,
@@ -58,7 +68,7 @@ def _fbank_main(args, rows, tokenizer):
     from valle_tpu.data.fbank import get_fbank_extractor
 
     extractor = get_fbank_extractor()
-    symbols = SymbolTable()
+    symbols = _load_or_new_symbols(args.output_dir)
     records = []
     with CodeShardWriter(
         args.output_dir, prefix=f"fbank_{args.split}", fmt="vsf",
@@ -111,7 +121,7 @@ def main():
     assert args.codec_checkpoint, "--codec-checkpoint required for Encodec"
     codec = load_codec(args.codec_checkpoint)
 
-    symbols = SymbolTable()
+    symbols = _load_or_new_symbols(args.output_dir)
     records = []
     with CodeShardWriter(
         args.output_dir, prefix=f"codes_{args.split}", fmt=args.shard_format

@@ -114,7 +114,19 @@ def run(args):
     collater = get_text_token_collater(str(args.manifest_dir / args.text_tokens))
     manifest = Manifest.load(args.manifest_dir / "manifest_train.jsonl.gz")
     dev_path = args.manifest_dir / "manifest_dev.jsonl.gz"
-    dev_manifest = Manifest.load(dev_path) if dev_path.exists() else None
+    dev_loader = None
+    if dev_path.exists():
+        # built once (not per validation — re-bucketing the dev set every
+        # --valid-interval wasted host time)
+        dev_loader = TtsDataLoader(
+            Manifest.load(dev_path),
+            collater,
+            max_duration=args.max_duration,
+            num_buckets=2,
+            shuffle=False,
+            dataset_name=args.dataset or None,
+        )
+        dev_loader.set_epoch(0)
 
     tx, clip = make_optimizer(args)
     lr_fn_base = get_lr_fn(
@@ -251,8 +263,22 @@ def run(args):
                     raise
 
                 if args.inf_check and not np.isfinite(float(metrics["loss"])):
+                    # localize the first non-finite module / poisoned params
+                    # (per-module parity with ref trainer.py:992-993 hooks,
+                    # run post-hoc so the hot step stays fused)
+                    from valle_tpu.train.debug import nonfinite_report
+
+                    micro = {
+                        k: jnp.asarray(v[0])
+                        for k, v in arrays.items()
+                        if k != "prompt_codes_lens"
+                    }
+                    report = nonfinite_report(
+                        model, state.params, micro,
+                        train_stage=args.train_stage,
+                    )
                     raise FloatingPointError(
-                        f"non-finite loss at step {step}: {metrics}"
+                        f"non-finite loss at step {step}: {metrics}; {report}"
                     )
 
                 if step % args.log_interval == 0:
@@ -280,9 +306,9 @@ def run(args):
                         },
                     )
 
-                if dev_manifest is not None and step % args.valid_interval == 0:
+                if dev_loader is not None and step % args.valid_interval == 0:
                     valid_loss = run_validation(
-                        eval_fn, state, dev_manifest, collater, args,
+                        eval_fn, state, dev_loader, args, train_mesh,
                         model=model, tag=f"step-{step}",
                     )
                     logging.info(f"validation at step {step}: loss={valid_loss:.4f}")
@@ -296,10 +322,10 @@ def run(args):
                     "train_stage": args.train_stage,
                     "train_loss": tracker.normalized().get("loss"),
                     "valid_loss": run_validation(
-                        eval_fn, state, dev_manifest, collater, args,
+                        eval_fn, state, dev_loader, args, train_mesh,
                         model=model, tag=f"epoch-{epoch}",
                     )
-                    if dev_manifest is not None
+                    if dev_loader is not None
                     else None,
                 },
             )
@@ -369,31 +395,27 @@ def scan_batch_shapes_for_oom(args, cfg, loader, step_fn, state, train_mesh):
 
 
 def run_validation(
-    eval_fn, state, dev_manifest, collater, args, model=None, tag="latest"
+    eval_fn, state, loader, args, mesh, model=None, tag="latest"
 ) -> float:
-    loader = TtsDataLoader(
-        dev_manifest,
-        collater,
-        max_duration=args.max_duration,
-        num_buckets=2,
-        shuffle=False,
-        dataset_name=args.dataset or None,
-    )
-    loader.set_epoch(0)
+    """Validation over the (pre-built) dev loader, with each batch sharded
+    over the mesh's data axis so eval uses all chips (ref trainer.py:550-585;
+    the metric sums are global under GSPMD like MetricsTracker.reduce)."""
     tot, frames = 0.0, 0.0
     rng = jax.random.PRNGKey(0)
     first = None
-    for batch in loader:
-        micro = {
-            k: jnp.asarray(v[0])
-            for k, v in batch.items()
-            if k not in ("utt_id", "text", "prompt_codes_lens")
-        }
-        out = eval_fn(state.params, micro, rng)
-        tot += float(out["loss"])
-        frames += float(out["frames"])
-        if first is None:
-            first = batch
+    with mesh:
+        for batch in loader:
+            micro = {
+                k: jnp.asarray(v[0])
+                for k, v in batch.items()
+                if k not in ("utt_id", "text", "prompt_codes_lens")
+            }
+            micro = mesh_lib.shard_batch(micro, mesh, axis=0)
+            out = eval_fn(state.params, micro, rng)
+            tot += float(out["loss"])
+            frames += float(out["frames"])
+            if first is None:
+                first = batch
     if (args.visualize and model is not None and first is not None
             and args.model_name.lower() != "transformer"):
         from valle_tpu.models.visualizer import visualize

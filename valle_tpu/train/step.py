@@ -193,7 +193,11 @@ def init_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(train_params),
-        model_avg=jax.tree.map(lambda p: p.astype(jnp.float32), params)
+        # copy=True: astype is a no-op view for f32 params, and aliasing
+        # params in model_avg would double-donate buffers in the train step
+        model_avg=jax.tree.map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params
+        )
         if with_model_avg
         else None,
     )
