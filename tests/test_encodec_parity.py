@@ -76,3 +76,47 @@ def test_roundtrip_shapes(models):
         assert codes.shape == (1, expected_frames, 8), (t, codes.shape)
         out = ours.decode(codes)
         assert out.shape[-1] >= t - 320 and out.shape[-1] % 320 == 0
+
+
+def test_real_prompt_wav_codes_match(models):
+    """Parity on REAL speech: the LibriTTS prompt wav bundled with the
+    reference (egs/libritts/prompts), not synthetic noise.  The released
+    24 kHz EnCodec weights are unreachable in this environment (no network;
+    see docs/goldens.md), so weights are seeded-random — the audio
+    distribution is the real thing the convs/RVQ see in production."""
+    import os
+
+    hf, ours = models
+    path = "/root/reference/egs/libritts/prompts/8455_210777_000067_000000.wav"
+    if not os.path.exists(path):
+        pytest.skip("reference prompt wavs unavailable")
+    from valle_tpu.data import convert_audio, read_wav
+
+    wav, sr = read_wav(path)
+    wav = convert_audio(wav, sr, 24000, 1)[None].astype(np.float32)  # (1,1,T)
+
+    with torch.no_grad():
+        enc = hf.encode(torch.tensor(wav), bandwidth=6.0)
+    ref = np.asarray(enc.audio_codes)
+    ref = ref.reshape(ref.shape[-3], ref.shape[-2], ref.shape[-1])  # (B,Q,T')
+
+    got = np.asarray(ours.encode(wav, bandwidth=6.0))  # (B, T', Q)
+    mismatch = (got.transpose(0, 2, 1) != ref).mean()
+    assert mismatch < 0.005, f"code mismatch rate {mismatch}"
+
+    # decode parity on the same codes
+    with torch.no_grad():
+        ref_wav = hf.decode(
+            torch.tensor(np.asarray(got.transpose(0, 2, 1)))[None],
+            audio_scales=[None],
+        ).audio_values.numpy()
+    got_wav = np.asarray(ours.decode(jnp.asarray(got)))
+    err = np.max(np.abs(got_wav - ref_wav)) / max(np.max(np.abs(ref_wav)), 1e-6)
+    assert err < 2e-3, err
+
+    # mel closeness of the two decodes (the mel-allclose north-star check,
+    # run with converted weights; real-weight version blocked on network)
+    from valle_tpu.data.fbank import mel_distance
+
+    d = mel_distance(got_wav[0, 0], ref_wav[0, 0])
+    assert d < 0.05, d

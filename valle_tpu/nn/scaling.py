@@ -335,3 +335,219 @@ def scaled_init(init_fn, scale: float):
         return init_fn(key, shape, dtype) * scale
 
     return f
+
+
+# ------------------------------------------------------------- random_clamp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _random_clamp_core(x, mask, min_v, max_v, reflect):
+    clamped = jnp.clip(x, min_v, max_v)
+    ans = jnp.where(mask, clamped, x)
+    if reflect != 0.0:
+        ans = ans * (1.0 + reflect) - x * reflect
+    return ans
+
+
+def _rclamp_fwd(x, mask, min_v, max_v, reflect):
+    clamped = jnp.clip(x, min_v, max_v)
+    ans = jnp.where(mask, clamped, x)
+    is_same = ans == x
+    if reflect != 0.0:
+        ans = ans * (1.0 + reflect) - x * reflect
+    return ans, is_same
+
+
+def _rclamp_bwd(min_v, max_v, reflect, is_same, g):
+    x_grad = g * is_same.astype(g.dtype)
+    if reflect != 0.0:
+        x_grad = x_grad * (1.0 + reflect) - g * reflect
+    return (x_grad, None)
+
+
+_random_clamp_core.defvjp(_rclamp_fwd, _rclamp_bwd)
+
+
+def random_clamp(x, key, min=None, max=None, prob=0.5, reflect=0.0):
+    """Randomized clamping with straight-through-blocked gradients
+    (ref scaling.py:130-220 RandomClampFunction/random_clamp): each element
+    is clamped to [min, max] with probability ``prob``; the backward passes
+    gradient only where the output equals the input, with the optional
+    ``reflect`` extrapolation applied to both directions."""
+    min_v = -jnp.inf if min is None else min
+    max_v = jnp.inf if max is None else max
+    mask = jax.random.uniform(key, x.shape) < prob
+    return _random_clamp_core(x, mask, min_v, max_v, reflect)
+
+
+# -------------------------------------------------------------- RandomGrad
+
+
+def random_cast_to_half(x, key, min_abs: float = 5.0e-06):
+    """Expectation-preserving cast to float16 (ref scaling.py:222-235):
+    elements with |x| < min_abs become +-min_abs with probability
+    |x| / min_abs, else 0 — preserving E[x] where fp16 would round to 0."""
+    x_abs = jnp.abs(x)
+    is_too_small = x_abs < min_abs
+    rand = jax.random.uniform(key, x.shape)
+    random_val = min_abs * jnp.sign(x) * (rand * min_abs < x_abs)
+    return jnp.where(is_too_small, random_val, x).astype(jnp.float16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def random_grad(x, key, min_abs: float = 5.0e-06):
+    """Identity forward; backward sparsifies tiny fp16 grads with the
+    expectation-preserving randomized cast (ref scaling.py:237-280
+    RandomGradFunction/RandomGrad).  Mostly moot on TPU (bf16 has fp32's
+    exponent range) but kept for API/behavior parity when running fp16."""
+    return x
+
+
+def _rgrad_fwd(x, key, min_abs):
+    return x, key
+
+
+def _rgrad_bwd(min_abs, key, g):
+    if g.dtype == jnp.float16:
+        g = random_cast_to_half(g.astype(jnp.float32), key, min_abs=min_abs)
+    return (g, None)
+
+
+random_grad.defvjp(_rgrad_fwd, _rgrad_bwd)
+
+
+# ------------------------------------------- SRLinear / SRConv1d (arXiv 2303.06296)
+
+
+class SRLinear:
+    """Spectral-reparamed linear (ref scaling.py:551-586, "Stabilizing
+    Transformer Training by Preventing Attention Entropy Collapse"):
+    ``W_eff = (sigma_learned / sigma_spectral(W)) * W`` with the spectral norm
+    estimated by one power-iteration step per call.
+
+    Implemented as a flax module defined lazily (flax import kept local so
+    the function-only toolkit above stays importable without flax)."""
+
+    def __new__(cls, *args, **kwargs):
+        return _make_sr_modules()[0](*args, **kwargs)
+
+
+class SRConv1d:
+    """Spectral-reparamed 1-D conv (ref scaling.py:587-619); input (B, C, T)
+    torch layout for conversion parity."""
+
+    def __new__(cls, *args, **kwargs):
+        return _make_sr_modules()[1](*args, **kwargs)
+
+
+_SR_CACHE = None
+
+
+def _make_sr_modules():
+    global _SR_CACHE
+    if _SR_CACHE is not None:
+        return _SR_CACHE
+    from flax import linen as nn
+
+    def _power_iteration(weight, u):
+        # one step; u/v are detached exactly like the reference's no_grad
+        # block (ref :567-575) — gradients reach sigma only through the
+        # final einsum's weight argument
+        u = jax.lax.stop_gradient(u)
+        v = weight @ u
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        u_new = weight.T @ v
+        u_new = u_new / jnp.maximum(jnp.linalg.norm(u_new), 1e-12)
+        v = jax.lax.stop_gradient(v)
+        u_new = jax.lax.stop_gradient(u_new)
+        sigma = jnp.einsum("c,cd,d->", v, weight, u_new)
+        return sigma, u_new
+
+    class _SRLinear(nn.Module):
+        in_features: int
+        out_features: int
+        use_bias: bool = True
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            # torch layout (out, in) so reference state dicts convert 1:1
+            weight = self.param(
+                "weight",
+                lambda k, s: nn.initializers.kaiming_uniform()(
+                    k, (s[1], s[0])
+                ).T,
+                (self.out_features, self.in_features),
+            )
+            sigma_p = self.param("sigma", nn.initializers.ones, (1,))
+            u = self.variable(
+                "spectral",
+                "u",
+                lambda: _normed_randn(
+                    jax.random.PRNGKey(0), (self.in_features,)
+                ),
+            )
+            sigma, u_new = _power_iteration(weight, u.value)
+            if not self.is_initializing() and self.is_mutable_collection(
+                "spectral"
+            ):
+                u.value = u_new
+            w_eff = (sigma_p / sigma) * weight
+            y = x @ w_eff.T
+            if self.use_bias:
+                y = y + self.param(
+                    "bias", nn.initializers.zeros, (self.out_features,)
+                )
+            return y
+
+    class _SRConv1d(nn.Module):
+        in_features: int
+        out_features: int
+        kernel_size: int
+        stride: int = 1
+        padding: str = "SAME"
+        use_bias: bool = True
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            k = self.kernel_size
+            flat_in = self.in_features * k
+            weight = self.param(
+                "weight",
+                lambda key, s: nn.initializers.kaiming_uniform()(
+                    key, (s[1], s[0])
+                ).T,
+                (self.out_features, flat_in),
+            )
+            sigma_p = self.param("sigma", nn.initializers.ones, (1,))
+            u = self.variable(
+                "spectral",
+                "u",
+                lambda: _normed_randn(jax.random.PRNGKey(0), (flat_in,)),
+            )
+            sigma, u_new = _power_iteration(weight, u.value)
+            if not self.is_initializing() and self.is_mutable_collection(
+                "spectral"
+            ):
+                u.value = u_new
+            w_eff = (sigma_p / sigma) * weight
+            w_conv = w_eff.reshape(self.out_features, self.in_features, k)
+            y = jax.lax.conv_general_dilated(
+                x,  # (B, C, T) torch layout
+                w_conv,  # (O, I, K)
+                window_strides=(self.stride,),
+                padding=self.padding,
+                dimension_numbers=("NCH", "OIH", "NCH"),
+            )
+            if self.use_bias:
+                y = y + self.param(
+                    "bias", nn.initializers.zeros, (self.out_features,)
+                )[None, :, None]
+            return y
+
+    _SR_CACHE = (_SRLinear, _SRConv1d)
+    return _SR_CACHE
+
+
+def _normed_randn(key, shape):
+    v = jax.random.normal(key, shape)
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
