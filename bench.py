@@ -30,22 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# bf16 peak FLOPs/s per chip by device kind (dense MXU peak).
-_PEAK_BF16 = {
-    "TPU v4": 275e12,
-    "TPU v5 lite": 197e12,  # v5e
-    "TPU v5e": 197e12,
-    "TPU v5p": 459e12,
-    "TPU v6 lite": 918e12,  # v6e / Trillium
-}
-
-
-def _chip_peak_flops() -> float:
-    kind = jax.devices()[0].device_kind
-    for k, v in _PEAK_BF16.items():
-        if kind.startswith(k):
-            return v
-    return 197e12  # default to v5e
+from valle_tpu.utils.flops import chip_peak_flops, train_step_flops
 
 
 def _build_generate(batch=128, nq=8, attn_impl="xla", kv="int8", max_new=512):
@@ -148,18 +133,9 @@ def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1):
     _ = float(metrics["loss"])  # sync
     dt = (time.perf_counter() - t0) / iters
 
-    # --- MFU: analytic matmul+attention FLOPs of the AR decoder ------------
-    d, L, v = cfg.decoder_dim, cfg.num_layers, cfg.num_audio_tokens + 1
-    t_xy = s + t + 1  # text + audio + EOS position
-    n_tok = accum * batch * t_xy
-    per_tok_matmul = L * 12 * d * d  # qkv(3d^2) + out(d^2) + ffn(8d^2)
-    attn = accum * batch * L * 4 * t_xy * t_xy * d  # QK^T + AV, full mask
-    logits = accum * batch * (t + 1) * d * v
-    fwd = 2 * n_tok * per_tok_matmul + 2 * attn + 2 * logits
-    total = 3 * fwd  # backward ~ 2x forward
-    if train_stage == 0:
-        total *= 2  # NAR decoder (same dims) runs too
-    mfu = total / dt / _chip_peak_flops()
+    # analytic matmul+attention FLOPs of the AR decoder (fwd + ~2x bwd)
+    total = train_step_flops(cfg, accum, batch, s, t, train_stage)
+    mfu = total / dt / chip_peak_flops()
 
     frames = accum * batch * t
     return {

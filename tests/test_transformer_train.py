@@ -132,6 +132,9 @@ def test_transformer_trains_end_to_end(fbank_corpus, tmp_path):
         "--tensorboard", "false",
         "--valid-interval", "2",
         "--save-every-n", "0",
+        "--log-interval", "1",
+        "--profile-steps", "1,2",
+        "--enable-spec-aug", "true",
     ])
     train_cli.run(args)
     ckpts = list((exp / "checkpoints").iterdir())
@@ -140,3 +143,57 @@ def test_transformer_trains_end_to_end(fbank_corpus, tmp_path):
     assert "epoch 1 done" in log
     # the dev manifest drove the (mesh-sharded) validation path
     assert "validation at step" in log
+    # per-interval MFU observability + the jax.profiler trace hook ran
+    assert "mfu=" in log
+    assert "profiler trace written" in log
+    assert (exp / "profile").exists()
+
+
+def test_spec_augment():
+    """SpecAugment: shape-preserving, masked values = utterance mean, padded
+    region untouched, disabled warp for short utterances."""
+    from valle_tpu.data.transforms import SpecAugment
+
+    rng = np.random.RandomState(0)
+    b, t, f = 3, 220, 100
+    feats = rng.randn(b, t, f).astype(np.float32)
+    lens = np.array([220, 180, 40], np.int32)
+    orig = feats.copy()
+    aug = SpecAugment(seed=1)(feats, lens)
+    assert aug.shape == feats.shape
+    np.testing.assert_array_equal(feats, orig)  # input not mutated
+    # padded region untouched
+    np.testing.assert_array_equal(aug[1, 180:], orig[1, 180:])
+    np.testing.assert_array_equal(aug[2, 40:], orig[2, 40:])
+    # something changed in the valid region (masks and/or warp)
+    assert (aug[0] != orig[0]).any()
+    # with warp disabled, fully-masked rows obey the 15% time-mask budget
+    aug2 = SpecAugment(seed=2, time_warp_factor=0)(feats, lens)
+    for i in range(2):
+        tv = int(lens[i])
+        full_rows = (aug2[i, :tv] != orig[i, :tv]).all(axis=1)
+        assert full_rows.mean() <= 0.16, full_rows.mean()
+        # masked cells carry the utterance mean
+        mean = orig[i, :tv].mean()
+        changed = aug2[i, :tv][aug2[i, :tv] != orig[i, :tv]]
+        np.testing.assert_allclose(changed, mean, rtol=1e-5)
+
+
+def test_loader_applies_spec_aug(fbank_corpus):
+    from valle_tpu.data.transforms import SpecAugment
+
+    m = Manifest.load(fbank_corpus / "manifest_train.jsonl.gz")
+    collater = get_text_token_collater(
+        str(fbank_corpus / "unique_text_tokens.k2symbols")
+    )
+    plain = TtsDataLoader(m, collater, max_duration=6.0, num_buckets=2,
+                          seed=0, shuffle=False)
+    auged = TtsDataLoader(m, collater, max_duration=6.0, num_buckets=2,
+                          seed=0, shuffle=False,
+                          feature_transforms=[SpecAugment(seed=3)])
+    plain.set_epoch(0)
+    auged.set_epoch(0)
+    a = next(iter(plain))["audio_features"]
+    b = next(iter(auged))["audio_features"]
+    assert a.shape == b.shape
+    assert (a != b).any()

@@ -67,6 +67,13 @@ def get_parser():
     parser.add_argument("--tensorboard", type=str2bool, default=True)
     parser.add_argument("--visualize", type=str2bool, default=False,
                         help="dump eval PNGs at validation (ref trainer.py:575-583)")
+    parser.add_argument("--enable-spec-aug", type=str2bool, default=False,
+                        help="SpecAugment on fbank features (Transformer "
+                        "baseline; ref datamodule.py:251-274)")
+    parser.add_argument("--spec-aug-time-warp-factor", type=int, default=80)
+    parser.add_argument("--profile-steps", type=str, default="",
+                        help="'START,END': capture a jax.profiler trace of "
+                        "those train steps into <exp-dir>/profile")
     return parser
 
 
@@ -138,6 +145,16 @@ def run(args):
 
     train_mesh = mesh_lib.make_mesh()
     world = jax.process_count()
+    feature_transforms = []
+    if args.enable_spec_aug:
+        from valle_tpu.data.transforms import SpecAugment
+
+        feature_transforms.append(
+            SpecAugment(
+                time_warp_factor=args.spec_aug_time_warp_factor,
+                seed=args.seed,
+            )
+        )
     loader = TtsDataLoader(
         manifest,
         collater,
@@ -151,6 +168,7 @@ def run(args):
         min_duration=args.filter_min_duration,
         max_utt_duration=args.filter_max_duration,
         batch_quant=args.batch_quant,
+        feature_transforms=feature_transforms,
     )
 
     # find an example batch for init
@@ -224,6 +242,14 @@ def run(args):
     tracker = MetricsTracker(reset_interval=200)
     start_epoch = int(meta.get("epoch", args.start_epoch))
 
+    profile_range = None
+    if args.profile_steps:
+        lo, hi = (int(x) for x in args.profile_steps.split(","))
+        profile_range = (lo, hi)
+    from valle_tpu.utils.flops import chip_peak_flops, train_step_flops
+
+    peak = chip_peak_flops()
+
     if args.oom_check:
         scan_batch_shapes_for_oom(
             args, cfg, loader, step_fn, state, train_mesh
@@ -234,6 +260,7 @@ def run(args):
             loader.set_epoch(epoch)
             epoch_arr = jnp.asarray(epoch, jnp.int32)
             t_last = time.time()
+            flops_since_log = 0.0
             # background host batch assembly (native C++ gather + collation)
             # overlapping device compute (ref dataloader workers
             # datamodule.py:336-343)
@@ -243,6 +270,16 @@ def run(args):
                     for k, v in batch.items()
                     if k not in ("utt_id", "text", "prompt_codes_lens")
                 }
+                if profile_range and int(state.step) + 1 == profile_range[0]:
+                    jax.profiler.start_trace(str(args.exp_dir / "profile"))
+                    logging.info(
+                        f"profiler trace started (steps {profile_range})"
+                    )
+                a_, b_, s_ = arrays["text_tokens"].shape
+                t_ = arrays["audio_features"].shape[2]
+                flops_since_log += train_step_flops(
+                    cfg, a_, b_, s_, t_, args.train_stage
+                )
                 sharded = mesh_lib.shard_batch(arrays, train_mesh, axis=1)
                 try:
                     state, metrics = step_fn(state, sharded, rng, epoch_arr)
@@ -281,18 +318,38 @@ def run(args):
                         f"non-finite loss at step {step}: {metrics}; {report}"
                     )
 
+                if profile_range and step == profile_range[1]:
+                    jax.profiler.stop_trace()
+                    logging.info(
+                        f"profiler trace written to {args.exp_dir / 'profile'}"
+                    )
+                    profile_range = None
+
                 if step % args.log_interval == 0:
                     dt = time.time() - t_last
                     t_last = time.time()
+                    # analytic MFU per chip over the interval (matmul FLOPs
+                    # from the batch shapes vs the chip's bf16 peak)
+                    n_dev = max(jax.device_count(), 1)
+                    mfu = flops_since_log / max(dt, 1e-9) / (peak * n_dev)
+                    flops_since_log = 0.0
+                    mem = ""
+                    stats = getattr(
+                        jax.local_devices()[0], "memory_stats", lambda: None
+                    )()
+                    if stats and "bytes_in_use" in stats:
+                        mem = f" mem={stats['bytes_in_use'] / 2**30:.1f}GiB"
                     msg = tracker.summary()
                     logging.info(
                         f"epoch {epoch} step {step} {msg} "
-                        f"({args.log_interval / max(dt, 1e-9):.2f} it/s)"
+                        f"({args.log_interval / max(dt, 1e-9):.2f} it/s, "
+                        f"mfu={mfu:.3f}{mem})"
                     )
                     if writer:
                         for k, v in tracker.normalized().items():
                             writer.add_scalar(f"train/{k}", v, step)
                         writer.add_scalar("train/lr", float(metrics["lr"]), step)
+                        writer.add_scalar("train/mfu", mfu, step)
 
                 if args.save_every_n and step % args.save_every_n == 0:
                     ckpt.save_step(

@@ -130,7 +130,10 @@ class TtsDataLoader:
         batch_quant: int = 8,
         frame_rate: Optional[float] = None,  # default: EnCodec 75 Hz; fbank
         # manifests use 24000/256 = 93.75 Hz (auto-detected)
+        feature_transforms: Optional[List] = None,  # e.g. [SpecAugment()],
+        # applied to float (fbank) features only (ref datamodule.py:251-274)
     ):
+        self.feature_transforms = list(feature_transforms or [])
         self.dataset = SpeechSynthesisDataset(manifest, collater)
         if frame_rate is None:
             frame_rate = (
@@ -186,7 +189,13 @@ class TtsDataLoader:
     def _one(self, spec: BucketSpec, rel_indices: List[int]) -> Dict:
         # -1 = shape-padding placeholder from the quantized sampler
         indices = [self.keep[i] if i >= 0 else -1 for i in rel_indices]
-        return self.dataset.batch(spec, indices)
+        batch = self.dataset.batch(spec, indices)
+        if self.feature_transforms and self.dataset.float_features:
+            for tf in self.feature_transforms:
+                batch["audio_features"] = tf(
+                    batch["audio_features"], batch["audio_features_lens"]
+                )
+        return batch
 
     def _add_prompts(self, micros: List[Dict], rng) -> None:
         """Prefix-mode-4 prompts with ONE shared length across the whole
