@@ -65,8 +65,10 @@ def _build_generate(batch=128, nq=8, attn_impl="xla", kv="int8", max_new=512):
     return run
 
 
-def bench_generate(batch=128, nq=8, attn_impl="xla", kv="int8",
+def bench_generate(batch=256, nq=8, attn_impl="xla", kv="int8",
                    iters=3, max_new=512, label=None):
+    """Default B=256: amortizes the per-step weight read over more sequences
+    (measured 174 vs 157 audio-s/s at B=128, docs/perf_notes.md)."""
     from valle_tpu import macros
 
     run = _build_generate(batch, nq, attn_impl, kv, max_new)

@@ -59,9 +59,10 @@ class ModelConfig:
                 f"kv_cache_dtype must be 'model' or 'int8', got "
                 f"{self.kv_cache_dtype!r}"
             )
-        if self.attn_impl not in ("xla", "flash"):
+        if self.attn_impl not in ("xla", "flash", "flash_kp"):
             raise ValueError(
-                f"attn_impl must be 'xla' or 'flash', got {self.attn_impl!r}"
+                f"attn_impl must be 'xla', 'flash' or 'flash_kp', got "
+                f"{self.attn_impl!r}"
             )
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(

@@ -39,17 +39,28 @@ def dot_product_attention(
     deterministic: bool = True,
     impl: str = "xla",
 ) -> jnp.ndarray:
-    """(B,Tq,H,Dh),(B,Tk,H,Dh),(B,Tk,H,Dh) -> (B,Tq,H,Dh)."""
+    """(B,Tq,H,Dh),(B,Tk,H,Dh),(B,Tk,H,Dh) -> (B,Tq,H,Dh).
+
+    impl: "xla" | "flash" | "flash_kp".  "flash_kp" routes through the
+    Pallas kernel only for key-padding-only masks (the O(B*T) SegmentIds
+    encoding — the NAR-refinement hot path); per-query structured biases
+    (prefix-LM prefill) stay on XLA, avoiding the materialized
+    (B,H,Tq,Tk) f32 ``ab`` bias that costs more than the kernel saves.
+    """
     # The flash kernel is differentiable (library custom-VJP) but has no
     # attention-prob dropout; fall back to XLA when dropout is active.
     if (
-        impl == "flash"
+        impl in ("flash", "flash_kp")
         and q.shape[1] > 1
         and (deterministic or dropout_rate == 0.0)
     ):
-        from valle_tpu.ops.flash_attention import flash_attention_biased
+        key_pad_only = bias is None or (
+            bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+        )
+        if impl == "flash" or key_pad_only:
+            from valle_tpu.ops.flash_attention import flash_attention_biased
 
-        out = flash_attention_biased(q, k, v, bias)
-        if out is not None:
-            return out
+            out = flash_attention_biased(q, k, v, bias)
+            if out is not None:
+                return out
     return _xla_attention(q, k, v, bias, dropout_rate, dropout_rng, deterministic)
