@@ -90,7 +90,8 @@ def bench_generate(batch=256, nq=8, attn_impl="xla", kv="int8",
     return thr
 
 
-def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1):
+def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1,
+                **cfg_overrides):
     """Flagship AR training step (BASELINE config 3): bf16, grad-accum 4,
     ~80 s of audio per micro-batch (8 utts x ~10 s at 75 Hz), ScaledAdam.
 
@@ -100,7 +101,7 @@ def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1):
     from valle_tpu.optim import eden_lr, scaled_adam
     from valle_tpu.train.step import init_train_state, make_train_step
 
-    cfg = ModelConfig(dtype="bfloat16", remat=True)
+    cfg = ModelConfig(dtype="bfloat16", remat=True, **cfg_overrides)
     model = VALLE(cfg)
     tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0)
 
@@ -124,14 +125,17 @@ def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1):
     )
     epoch = jnp.zeros((), jnp.int32)
 
+    # rbg (hardware RNG) keys: threefry dropout-mask generation alone was
+    # measured to double the step time (0.895 -> 0.579 s/step with rbg)
+    mk_key = lambda i: jax.random.key(i, impl="rbg")
+
     # compile + warmup
-    state, metrics = step(state, batch_arrays, jax.random.PRNGKey(1), epoch)
+    state, metrics = step(state, batch_arrays, mk_key(1), epoch)
     _ = float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step(state, batch_arrays,
-                              jax.random.PRNGKey(2 + i), epoch)
+        state, metrics = step(state, batch_arrays, mk_key(2 + i), epoch)
     _ = float(metrics["loss"])  # sync
     dt = (time.perf_counter() - t0) / iters
 

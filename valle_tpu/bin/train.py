@@ -74,6 +74,11 @@ def get_parser():
     parser.add_argument("--profile-steps", type=str, default="",
                         help="'START,END': capture a jax.profiler trace of "
                         "those train steps into <exp-dir>/profile")
+    parser.add_argument("--rng-impl", type=str, default="rbg",
+                        choices=["rbg", "threefry2x32", "unsafe_rbg"],
+                        help="PRNG for dropout masks; rbg (TPU hardware "
+                        "RNG) cuts the measured step time ~35%% vs "
+                        "threefry (docs/perf_notes.md)")
     return parser
 
 
@@ -238,7 +243,7 @@ def run(args):
         except ImportError:
             pass
 
-    rng = jax.random.PRNGKey(args.seed + 1)
+    rng = jax.random.key(args.seed + 1, impl=args.rng_impl)
     tracker = MetricsTracker(reset_interval=200)
     start_epoch = int(meta.get("epoch", args.start_epoch))
 

@@ -29,15 +29,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_block(t_padded: int) -> int:
-    """Largest 128-multiple divisor of t_padded, capped at 1024.
+def _pick_block(t_padded: int, cap: int = 1024) -> int:
+    """Largest 128-multiple divisor of t_padded, capped at ``cap``.
 
     The library kernel's default (128) block runs ~4.5x slower than one big
     block at our sequence lengths (measured on v5e at B=128, T=896: 56.7 ms
     vs 12.5 ms) — small blocks re-load the (1, Dh)-thin query tile per key
     block and leave the MXU idle.  Scores for a 1024-block are 4 MB of VMEM.
     """
-    for d in range(min(t_padded, 1024), 0, -_BLOCK):
+    for d in range(min(t_padded, cap), 0, -_BLOCK):
         if t_padded % d == 0 and d % _BLOCK == 0:
             return d
     return _BLOCK
@@ -92,9 +92,9 @@ def flash_attention_biased(
     bq, bk = _pick_block(tq_p), _pick_block(tk_p)
     # The 1024-sized blocks were tuned on the FORWARD pass only; the backward
     # kernels (dkv/dq) keep extra f32 score/ds tiles live, so cap their blocks
-    # at 512 to stay within VMEM on smaller-VMEM TPU generations until the
-    # backward is measured.
-    bq_b, bk_b = min(bq, 512), min(bk, 512)
+    # at 512 (largest DIVISOR of the padded length <= 512 — the kernel
+    # requires exact divisibility) until the backward is measured.
+    bq_b, bk_b = _pick_block(tq_p, 512), _pick_block(tk_p, 512)
     block_sizes = BlockSizes(
         block_q=bq,
         block_k_major=bk,
