@@ -173,9 +173,11 @@ if __name__ == "__main__":
             for k in ("model", "int8"):
                 bench_generate(attn_impl=a, kv=k, label=f"attn={a} kv={k}")
     elif mode == "phase":
-        bench_generate(nq=1, label="AR-only (Q=1)")
-        bench_generate(nq=8, label="full (Q=8)")
-        bench_generate(batch=256, nq=8, label="B=256")
+        # decomposition at the documented B=128 point (perf_notes.md), plus
+        # the flagship B=256 row
+        bench_generate(batch=128, nq=1, label="AR-only (B=128, Q=1)")
+        bench_generate(batch=128, nq=8, label="full (B=128, Q=8)")
+        bench_generate(batch=256, nq=8, label="flagship (B=256, Q=8)")
     elif mode == "train":
         print(json.dumps(bench_train()))
     else:

@@ -167,8 +167,9 @@ def test_spec_augment():
     np.testing.assert_array_equal(aug[2, 40:], orig[2, 40:])
     # something changed in the valid region (masks and/or warp)
     assert (aug[0] != orig[0]).any()
-    # with warp disabled, fully-masked rows obey the 15% time-mask budget
-    aug2 = SpecAugment(seed=2, time_warp_factor=0)(feats, lens)
+    # with warp disabled (and the per-cut p gate forced on), fully-masked
+    # rows obey the 15% time-mask budget
+    aug2 = SpecAugment(seed=2, time_warp_factor=0, p=1.0)(feats, lens)
     for i in range(2):
         tv = int(lens[i])
         full_rows = (aug2[i, :tv] != orig[i, :tv]).all(axis=1)

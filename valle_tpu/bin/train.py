@@ -248,6 +248,7 @@ def run(args):
     start_epoch = int(meta.get("epoch", args.start_epoch))
 
     profile_range = None
+    trace_active = False
     if args.profile_steps:
         lo, hi = (int(x) for x in args.profile_steps.split(","))
         profile_range = (lo, hi)
@@ -277,6 +278,7 @@ def run(args):
                 }
                 if profile_range and int(state.step) + 1 == profile_range[0]:
                     jax.profiler.start_trace(str(args.exp_dir / "profile"))
+                    trace_active = True
                     logging.info(
                         f"profiler trace started (steps {profile_range})"
                     )
@@ -323,8 +325,9 @@ def run(args):
                         f"non-finite loss at step {step}: {metrics}; {report}"
                     )
 
-                if profile_range and step == profile_range[1]:
+                if profile_range and step >= profile_range[1]:
                     jax.profiler.stop_trace()
+                    trace_active = False
                     logging.info(
                         f"profiler trace written to {args.exp_dir / 'profile'}"
                     )
@@ -377,6 +380,16 @@ def run(args):
                     if writer:
                         writer.add_scalar("valid/loss", valid_loss, step)
 
+            if trace_active:
+                # training ended before the requested end step: close the
+                # trace so it is not lost
+                jax.profiler.stop_trace()
+                trace_active = False
+                profile_range = None
+                logging.info(
+                    f"profiler trace (early stop) written to "
+                    f"{args.exp_dir / 'profile'}"
+                )
             ckpt.save_epoch(
                 epoch,
                 state,
@@ -467,8 +480,10 @@ def run_validation(
     first = None
     with mesh:
         for batch in loader:
+            # numpy straight into shard_batch (device_put with the mesh
+            # sharding) — jnp.asarray first would add a redundant transfer
             micro = {
-                k: jnp.asarray(v[0])
+                k: v[0]
                 for k, v in batch.items()
                 if k not in ("utt_id", "text", "prompt_codes_lens")
             }

@@ -54,7 +54,10 @@ class SymbolTable(Generic[Symbol]):
                 raise RuntimeError(f"id {idx} appears twice (line {lineno})")
             table._by_id[idx] = sym
             table._by_sym[sym] = idx
-        table.eps = table._by_id.get(0, "<eps>")
+        # files without an explicit id-0 line still get epsilon at 0 (the
+        # k2/reference loader auto-seeds it)
+        table.eps = table._by_id.setdefault(0, "<eps>")
+        table._by_sym.setdefault(table.eps, 0)
         return table
 
     @staticmethod

@@ -30,6 +30,7 @@ class SpecAugment:
         num_frame_masks: int = 10,
         frames_mask_size: int = 100,
         max_frames_mask_fraction: float = 0.15,
+        p: float = 0.9,
         seed: int = 0,
     ):
         self.time_warp_factor = time_warp_factor
@@ -38,6 +39,9 @@ class SpecAugment:
         self.num_frame_masks = num_frame_masks
         self.frames_mask_size = frames_mask_size
         self.max_frames_mask_fraction = max_frames_mask_fraction
+        # lhotse applies the masking to each cut with probability p (leaving
+        # ~1-p of utterances clean); warp applies unconditionally
+        self.p = p
         self.rng = np.random.RandomState(seed)
 
     def _time_warp(self, feats: np.ndarray) -> np.ndarray:
@@ -71,22 +75,27 @@ class SpecAugment:
         region = out[:t_valid]
         if t_valid > 0:
             region = self._time_warp(region)
-            mean = float(region.mean())
-            f = region.shape[1]
-            for _ in range(self.num_feature_masks):
-                width = self.rng.randint(0, self.features_mask_size + 1)
-                if width and width < f:
-                    start = self.rng.randint(0, f - width + 1)
-                    region[:, start : start + width] = mean
-            max_total = int(self.max_frames_mask_fraction * t_valid)
-            masked = 0
-            for _ in range(self.num_frame_masks):
-                width = self.rng.randint(0, self.frames_mask_size + 1)
-                width = min(width, max(max_total - masked, 0), t_valid)
-                if width:
-                    start = self.rng.randint(0, t_valid - width + 1)
-                    region[start : start + width] = mean
-                    masked += width
+            if self.rng.rand() < self.p:
+                mean = float(region.mean())
+                f = region.shape[1]
+                for _ in range(self.num_feature_masks):
+                    width = self.rng.randint(0, self.features_mask_size + 1)
+                    if width and width < f:
+                        start = self.rng.randint(0, f - width + 1)
+                        region[:, start : start + width] = mean
+                # per-mask width capped at (total budget) / (num masks), the
+                # lhotse behavior — one mask cannot eat the whole budget
+                max_total = int(self.max_frames_mask_fraction * t_valid)
+                per_mask = min(
+                    self.frames_mask_size,
+                    max(max_total // max(self.num_frame_masks, 1), 1),
+                )
+                for _ in range(self.num_frame_masks):
+                    width = self.rng.randint(0, per_mask + 1)
+                    width = min(width, t_valid)
+                    if width:
+                        start = self.rng.randint(0, t_valid - width + 1)
+                        region[start : start + width] = mean
             out[:t_valid] = region
         return out
 

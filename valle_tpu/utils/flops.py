@@ -34,16 +34,31 @@ def train_step_flops(
 
     Counts the MXU work only (the analytic numerator of MFU); remat
     recompute and vector-unit work are excluded, so hardware utilization is
-    somewhat higher than the reported MFU.
+    somewhat higher than the reported MFU.  Model-aware: the VALL-E stacks
+    run over [text;audio] with a V+1 logits head; the Transformer baseline
+    is an encoder(s) + cross-attention decoder(t) with a mel+stop head.
     """
-    d, layers = cfg.decoder_dim, cfg.num_layers
+    d = cfg.decoder_dim
+    layers = cfg.num_layers
+    per_tok = 12 * d * d  # qkv(3d^2) + out(d^2) + ffn(8d^2) per layer
+
+    if cfg.model_name.lower() == "transformer":
+        n_enc = accum * batch * s
+        n_dec = accum * batch * t
+        enc = 2 * n_enc * layers * per_tok + \
+            accum * batch * layers * 4 * s * s * d
+        # decoder adds a cross-attention block (4d^2/tok + 4*t*s*d scores)
+        dec = 2 * n_dec * layers * (per_tok + 4 * d * d) + \
+            accum * batch * layers * (4 * t * t * d + 4 * t * s * d)
+        head = 2 * n_dec * d * (cfg.num_mel_bins + 1)
+        return 3.0 * (enc + dec + head)
+
     v = cfg.num_audio_tokens + 1
     t_xy = s + t + 1  # text + audio + EOS position
     n_tok = accum * batch * t_xy
-    per_tok_matmul = layers * 12 * d * d  # qkv(3d^2) + out(d^2) + ffn(8d^2)
     attn = accum * batch * layers * 4 * t_xy * t_xy * d  # QK^T + AV
     logits = accum * batch * (t + 1) * d * v
-    fwd = 2 * n_tok * per_tok_matmul + 2 * attn + 2 * logits
+    fwd = 2 * n_tok * layers * per_tok + 2 * attn + 2 * logits
     total = 3.0 * fwd
     if train_stage == 0:
         total *= 2  # the NAR decoder (same dims) runs too
