@@ -24,6 +24,13 @@ def str2bool(v) -> bool:
     raise argparse.ArgumentTypeError("boolean value expected")
 
 
+def _remat_policy(v: str) -> str:
+    """--remat accepts the round-2 booleans or a policy name."""
+    if v.lower() in ("none", "full", "dots_nobatch"):
+        return v.lower()
+    return "full" if str2bool(v) else "none"
+
+
 def add_model_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--model-name", type=str, default="VALL-E")
     parser.add_argument("--decoder-dim", type=int, default=1024)
@@ -41,9 +48,10 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--attn-impl", type=str, default="xla")
     parser.add_argument("--kv-cache-dtype", type=str, default="model",
                         help="model | int8 (int8 halves decode KV reads)")
-    parser.add_argument("--remat", type=str2bool, default=False,
-                        help="rematerialize transformer layers in backward "
-                        "(fits the flagship train step on a 16 GB chip)")
+    parser.add_argument("--remat", type=_remat_policy, default="none",
+                        help="layer remat policy: none | full | dots_nobatch "
+                        "(bools accepted; 'full'/'dots_nobatch' fit the "
+                        "flagship train step on a 16 GB chip)")
 
 
 def config_from_args(args) -> ModelConfig:
@@ -63,7 +71,7 @@ def config_from_args(args) -> ModelConfig:
         dtype=getattr(args, "dtype", "float32"),
         attn_impl=getattr(args, "attn_impl", "xla"),
         kv_cache_dtype=getattr(args, "kv_cache_dtype", "model"),
-        remat=getattr(args, "remat", False),
+        remat=getattr(args, "remat", "none"),
     )
 
 

@@ -46,23 +46,41 @@ class ModelConfig:
     # scales.  Decode is KV-read-bound, so int8 nearly halves the dominant
     # HBM stream (serving optimization; training and parity paths unaffected).
     kv_cache_dtype: str = "model"  # model | int8
-    # Rematerialize each transformer layer in the backward pass
-    # (jax.checkpoint around the scanned layer body).  Cuts training HBM from
-    # O(L * T^2) attention probs to one layer's worth — required to fit the
-    # flagship config's backward on a 16 GB chip — for ~1/3 extra forward
-    # FLOPs.  No effect on inference.
-    remat: bool = False
+    # Rematerialization policy for the transformer layers' backward pass
+    # (jax.checkpoint around the scanned layer body).  Without remat XLA must
+    # keep all L layers' (B, H, T, T) attention probs live for the backward —
+    # the flagship train step OOMs a 16 GB chip.  Policies:
+    #   "none"         — no remat (max memory, min FLOPs)
+    #   "full"         — save nothing, recompute the whole layer (~1/3 extra
+    #                    forward FLOPs; the round-2 boolean `remat=True`)
+    #   "dots_nobatch" — jax.checkpoint_policies.dots_with_no_batch_dims_
+    #                    saveable: saves the outputs of the Dense matmuls
+    #                    (QKV/out/FFN projections — no dot batch dims) but
+    #                    recomputes the batched attention einsums, so the
+    #                    O(T^2) probs still never hit HBM while the MXU-heavy
+    #                    projections are not re-run (measured fastest that
+    #                    fits, see docs/perf_notes.md round 3)
+    # bools are accepted for round-2 compatibility (True="full", False="none").
+    # No effect on inference.
+    remat: str = "none"
 
     def __post_init__(self):
+        if isinstance(self.remat, bool):
+            object.__setattr__(self, "remat", "full" if self.remat else "none")
+        if self.remat not in ("none", "full", "dots_nobatch"):
+            raise ValueError(
+                f"remat must be 'none', 'full' or 'dots_nobatch' (or a bool), "
+                f"got {self.remat!r}"
+            )
         if self.kv_cache_dtype not in ("model", "int8"):
             raise ValueError(
                 f"kv_cache_dtype must be 'model' or 'int8', got "
                 f"{self.kv_cache_dtype!r}"
             )
-        if self.attn_impl not in ("xla", "flash", "flash_kp"):
+        if self.attn_impl not in ("xla", "fused", "flash", "flash_kp"):
             raise ValueError(
-                f"attn_impl must be 'xla', 'flash' or 'flash_kp', got "
-                f"{self.attn_impl!r}"
+                f"attn_impl must be 'xla', 'fused', 'flash' or 'flash_kp', "
+                f"got {self.attn_impl!r}"
             )
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(

@@ -381,24 +381,25 @@ class VALLE(nn.Module):
         else:
             ar_y_mask = y_mask
 
+        # Masks ride as structured AttnMaskSpec (key-validity row + static
+        # prefix split): the fused Pallas kernel regenerates the structural
+        # part in-kernel; XLA impls densify to the same bias as before.
         if self.variant == "valle":
             xy = jnp.concatenate([x_emb, y_emb], axis=1)
-            struct = mask_ops.prefix_lm_attn_mask(s, ty)
             key_pad = jnp.concatenate([x_mask, ar_y_mask], axis=1)
-            bias = mask_ops.mask_to_bias(
-                mask_ops.merge_padding(struct, key_pad), jnp.float32
+            bias = mask_ops.AttnMaskSpec(
+                mask_ops.mask_to_bias(key_pad, jnp.float32), prefix_s=s
             )
             dec, _, _ = self.ar_decoder(
                 xy, attn_bias=bias, deterministic=deterministic
             )
             dec_y = dec[:, s:]
         else:  # vallf: causal self-attn over audio, cross-attn to text
-            struct = mask_ops.causal_mask(ty)
-            bias = mask_ops.mask_to_bias(
-                mask_ops.merge_padding(struct, ar_y_mask), jnp.float32
+            bias = mask_ops.AttnMaskSpec(
+                mask_ops.mask_to_bias(ar_y_mask, jnp.float32), prefix_s=0
             )
-            mem_bias = mask_ops.mask_to_bias(
-                x_mask[:, None, None, :], jnp.float32
+            mem_bias = mask_ops.AttnMaskSpec(
+                mask_ops.mask_to_bias(x_mask, jnp.float32)
             )
             dec_y, _, _ = self.ar_decoder(
                 y_emb,
@@ -581,14 +582,20 @@ class VALLE(nn.Module):
         if self.variant == "valle":
             xy = jnp.concatenate([x_emb, y_pos], axis=1)
             key_pad = jnp.concatenate([x_mask, y_pad], axis=1)
-            bias = mask_ops.mask_to_bias(key_pad[:, None, None, :], jnp.float32)
+            bias = mask_ops.AttnMaskSpec(
+                mask_ops.mask_to_bias(key_pad, jnp.float32)
+            )
             dec, _, _ = self.nar_decoder(
                 xy, stage_emb=stage_emb, attn_bias=bias, deterministic=deterministic
             )
             dec_y = dec[:, s + seq_prompt_len :]
         else:
-            bias = mask_ops.mask_to_bias(y_pad[:, None, None, :], jnp.float32)
-            mem_bias = mask_ops.mask_to_bias(x_mask[:, None, None, :], jnp.float32)
+            bias = mask_ops.AttnMaskSpec(
+                mask_ops.mask_to_bias(y_pad, jnp.float32)
+            )
+            mem_bias = mask_ops.AttnMaskSpec(
+                mask_ops.mask_to_bias(x_mask, jnp.float32)
+            )
             dec, _, _ = self.nar_decoder(
                 y_pos,
                 stage_emb=stage_emb,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -254,7 +255,9 @@ class TransformerStack(nn.Module):
     out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False  # jax.checkpoint each layer (training memory saver)
+    # jax.checkpoint policy for each layer: "none" | "full" | "dots_nobatch"
+    # (see ModelConfig.remat; bools accepted: True="full", False="none")
+    remat: str = "none"
 
     @nn.compact
     def __call__(
@@ -271,11 +274,20 @@ class TransformerStack(nn.Module):
         return_kv: bool = False,
     ):
         layer_cls = TransformerLayer
-        if self.remat:
-            # Recompute the layer in the backward pass instead of saving its
-            # O(T^2) attention probs; prevent_cse=False is safe (and faster)
-            # under scan per the jax.checkpoint docs.
-            layer_cls = nn.remat(layer_cls, prevent_cse=False)
+        remat = {True: "full", False: "none"}.get(self.remat, self.remat)
+        if remat != "none":
+            # Recompute (part of) the layer in the backward pass instead of
+            # saving its O(T^2) attention probs; prevent_cse=False is safe
+            # (and faster) under scan per the jax.checkpoint docs.
+            # "dots_nobatch" keeps the Dense projection outputs (dots with no
+            # batch dims) saved so only the batched attention einsums are
+            # recomputed — measured faster than "full" at flagship shapes.
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if remat == "dots_nobatch"
+                else None
+            )
+            layer_cls = nn.remat(layer_cls, prevent_cse=False, policy=policy)
         scan = nn.scan(
             layer_cls,
             variable_axes={"params": 0},

@@ -8,10 +8,12 @@ Pallas blockwise kernel in ops/flash_attention.py when shapes are eligible
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
+
+from valle_tpu.ops.masks import AttnMaskSpec
 
 
 def _xla_attention(q, k, v, bias, dropout_rate, dropout_rng, deterministic):
@@ -41,12 +43,39 @@ def dot_product_attention(
 ) -> jnp.ndarray:
     """(B,Tq,H,Dh),(B,Tk,H,Dh),(B,Tk,H,Dh) -> (B,Tq,H,Dh).
 
-    impl: "xla" | "flash" | "flash_kp".  "flash_kp" routes through the
-    Pallas kernel only for key-padding-only masks (the O(B*T) SegmentIds
-    encoding — the NAR-refinement hot path); per-query structured biases
-    (prefix-LM prefill) stay on XLA, avoiding the materialized
-    (B,H,Tq,Tk) f32 ``ab`` bias that costs more than the kernel saves.
+    ``bias`` may be a dense additive array broadcastable to (B, H, Tq, Tk)
+    OR an :class:`AttnMaskSpec` (key-validity row + static prefix split).
+
+    impl:
+      - "xla": einsum + f32 softmax (XLA's fusion; the measured best generic
+        path at VALL-E shapes, docs/perf_notes.md).
+      - "fused": the custom Pallas prefix-LM kernel with in-register dropout
+        (ops/fused_attention.py) — requires an AttnMaskSpec and Tq > 1;
+        anything else (decode steps, dense-bias callers, dropout off-TPU
+        where the interpreter PRNG is a stub) falls back to "xla".
+      - "flash" | "flash_kp": the library Pallas kernel; "flash_kp" routes
+        only key-padding-only masks (O(B*T) SegmentIds encoding), keeping
+        per-query structured biases (prefix-LM prefill) on XLA — the
+        materialized (B,H,Tq,Tk) f32 ``ab`` bias costs more than the kernel
+        saves.  Kept as measured negative results / comparison points.
     """
+    if isinstance(bias, AttnMaskSpec):
+        if impl == "fused" and q.shape[1] > 1:
+            dropping = not deterministic and dropout_rate > 0.0
+            on_tpu = jax.default_backend() == "tpu"
+            if not dropping or on_tpu:
+                from valle_tpu.ops.fused_attention import fused_prefix_attention
+
+                return fused_prefix_attention(
+                    q,
+                    k,
+                    v,
+                    bias.kv_bias,
+                    prefix_s=bias.prefix_s,
+                    dropout_rate=dropout_rate if dropping else 0.0,
+                    dropout_rng=dropout_rng if dropping else None,
+                )
+        bias = bias.dense(q.shape[1])
     # The flash kernel is differentiable (library custom-VJP) but has no
     # attention-prob dropout; fall back to XLA when dropout is active.
     if (

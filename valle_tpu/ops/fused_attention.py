@@ -1,0 +1,453 @@
+"""Custom Pallas prefix-LM attention with in-register dropout (training path).
+
+Round-2 measurement (docs/perf_notes.md) isolated the last 0.15 s/step of the
+flagship training gap to attention-prob dropout: XLA materializes the
+per-layer (B, H, T, T) dropout mask (bernoulli bits -> bf16 multiply), and the
+library flash kernel can't help — it has no prob dropout and the prefix-LM
+structural mask forces its dense ``ab``-bias path (measured 2x slower than
+XLA's own fusion).  This kernel removes both costs:
+
+  - the structural prefix-LM mask (text block attends within itself, audio
+    attends to text + causally to audio; ref models/valle.py:835-861) is
+    computed IN-KERNEL from row/col iotas plus a per-sequence (B, Tk) key-
+    validity bias row — no (B, H, T, T) mask/bias tensor ever exists;
+  - dropout keep-bits are generated IN-REGISTER from the TPU hardware PRNG
+    (pltpu.prng_random_bits), seeded per (batch, head, q-block) so the
+    backward pass regenerates bit-identical masks instead of storing them;
+  - the backward recomputes probs flash-style from the forward's logsumexp,
+    so the O(T^2) probs are never saved — layer-level remat becomes
+    unnecessary for attention memory.
+
+Design: at VALL-E sequence lengths (T <= ~2k) a full key row fits easily in
+VMEM, so there is NO online-softmax block loop: grid (B, H, Tq/block_q), each
+cell computes exact softmax over the whole key axis in f32 and two MXU
+matmuls.  dK/dV are accumulated across the sequential q-block grid dimension
+in f32 VMEM scratch and written once at the last block.
+
+This replaces the reference's fused C++/CUDA attention + torch dropout
+(ref valle/modules/activation.py:266-361, F.multi_head_attention_forward).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9  # finite mask value: fully-masked rows give uniform probs, not NaN
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _tile_seed(seed_ref, b, h, qi, n_h, n_q):
+    """Distinct, reproducible PRNG seed per (batch, head, q-block) tile."""
+    idx = (b * n_h + h) * n_q + qi
+    # odd-constant multiply decorrelates nearby per-call base seeds (int32
+    # wraparound is well-defined under XLA)
+    return seed_ref[0] + idx * np.int32(-1640531527)  # 0x9E3779B9 as int32
+
+
+def _struct_bias(qi, bq, tk, prefix_s):
+    """Prefix-LM structural mask for this q-block: (bq, tk) f32 {0, _NEG}.
+
+    prefix_s = s: rows < s (text) see cols < s; rows >= s (audio) see cols < s
+    plus cols <= row.  prefix_s = 0 degenerates to a pure causal mask (the
+    VALL-F audio decoder).
+    """
+    row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 1)
+    # text rows (row < s) see exactly cols < s; audio rows additionally see
+    # cols <= row — one boolean expression (Mosaic has no select-on-bools):
+    allowed = jnp.logical_or(
+        col < prefix_s, jnp.logical_and(row >= prefix_s, col <= row)
+    )
+    return jnp.where(allowed, 0.0, _NEG).astype(jnp.float32)
+
+
+def _keep_mask(shape, rate):
+    """In-register dropout keep mask from the already-seeded hardware PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thr = np.uint32(min(2**32 - 1, round(rate * 2**32)))
+    return bits >= thr  # P(keep) = 1 - rate
+
+
+def _fwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+    *, scale, prefix_s, dropout_rate, n_h, n_q, bq,
+):
+    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    tk = k_ref.shape[2]
+    q = q_ref[0, 0]  # (bq, dh)
+    k = k_ref[0, 0]  # (tk, dh)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + bias_ref[0]  # (1, tk) broadcasts over rows
+    if prefix_s is not None:
+        s = s + _struct_bias(qi, bq, tk, prefix_s)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(_tile_seed(seed_ref, b, h, qi, n_h, n_q))
+        keep = _keep_mask(p.shape, dropout_rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+    acc = jax.lax.dot_general(
+        p.astype(q.dtype), v_ref[0, 0],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, out_ref,
+    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale, prefix_s, dropout_rate, n_h, n_q, bq,
+):
+    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    tk = k_ref.shape[2]
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    # Recompute the exact forward softmax (single full-width block, so no
+    # online stats were needed); bit-identical to the forward pass.
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + bias_ref[0]
+    if prefix_s is not None:
+        s = s + _struct_bias(qi, bq, tk, prefix_s)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p_un = jnp.exp(s - m)
+    p = p_un / jnp.sum(p_un, axis=-1, keepdims=True)  # normalized, (bq, tk)
+
+    inv_kp = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(_tile_seed(seed_ref, b, h, qi, n_h, n_q))
+        keep = _keep_mask(p.shape, dropout_rate)
+        pd = jnp.where(keep, p * inv_kp, 0.0)
+    else:
+        pd = p
+
+    # dV += Pd^T dO
+    dv_acc[:] += jax.lax.dot_general(
+        pd.astype(q.dtype), do.astype(q.dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    # dPd = dO V^T ; dP = mask * dPd / keep_prob
+    dpd = jax.lax.dot_general(
+        do.astype(q.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jnp.where(keep, dpd * inv_kp, 0.0) if dropout_rate > 0.0 else dpd
+    # softmax jacobian: dS = P * (dP - rowsum(dO * O)); the dropout mask
+    # cancels in the row term: sum_c dP_c P_c = sum_c dPd_c Pd_c = dO . O
+    delta = jnp.sum(do * out_ref[0, 0].astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    ds = p * (dp - delta)
+    ds_lo = ds.astype(q.dtype)
+    dq_ref[0, 0] = (
+        jax.lax.dot_general(
+            ds_lo, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    ).astype(dq_ref.dtype)
+    dk_acc[:] += (
+        jax.lax.dot_general(
+            ds_lo, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+
+    @pl.when(qi == n_q - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _specs(bq, tk, dh):
+    """Grid/block specs: padded layouts q (B,H,Tq,Dh) blocked by q-rows; k/v
+    full per (b,h); bias one (1, Tk) row per batch element."""
+    # index maps receive the scalar-prefetch refs as trailing args (*_)
+    q_spec = pl.BlockSpec((1, 1, bq, dh), lambda b_, h_, qi, *_: (b_, h_, qi, 0))
+    kv_spec = pl.BlockSpec((1, 1, tk, dh), lambda b_, h_, qi, *_: (b_, h_, 0, 0))
+    bias_spec = pl.BlockSpec((1, 1, tk), lambda b_, h_, qi, *_: (b_, 0, 0))
+    return q_spec, kv_spec, bias_spec
+
+
+def _pallas_fwd(q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret):
+    b, n_h, tq_p, dh = q.shape
+    tk = k.shape[2]
+    bq = min(tq_p, 128)
+    n_q = tq_p // bq
+    q_spec, kv_spec, bias_spec = _specs(bq, tk, dh)
+    kern = functools.partial(
+        _fwd_kernel, scale=1.0 / (dh**0.5), prefix_s=prefix_s,
+        dropout_rate=dropout_rate, n_h=n_h, n_q=n_q, bq=bq,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_h, n_q),
+            in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
+            out_specs=q_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(seed, q, k, v, bias_rows)
+
+
+def _pallas_bwd(q, k, v, bias_rows, seed, out, do, prefix_s, dropout_rate,
+                interpret):
+    b, n_h, tq_p, dh = q.shape
+    tk = k.shape[2]
+    bq = min(tq_p, 128)
+    n_q = tq_p // bq
+    q_spec, kv_spec, bias_spec = _specs(bq, tk, dh)
+    kern = functools.partial(
+        _bwd_kernel, scale=1.0 / (dh**0.5), prefix_s=prefix_s,
+        dropout_rate=dropout_rate, n_h=n_h, n_q=n_q, bq=bq,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_h, n_q),
+            in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec, q_spec],
+            out_specs=[q_spec, kv_spec, kv_spec],
+            scratch_shapes=[
+                pltpu.VMEM((tk, dh), jnp.float32),
+                pltpu.VMEM((tk, dh), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        interpret=interpret,
+    )(seed, q, k, v, bias_rows, do, out)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning.  Under GSPMD (pjit over a Mesh) a bare pallas_call is an
+# opaque custom call: the partitioner would all-gather every operand and run
+# it replicated.  These wrappers declare the embarrassingly-parallel dims —
+# batch and head — so dp (batch) and Megatron tp (heads) shard the kernel
+# with zero collectives, matching how parallel/mesh.py shards the model.
+# The per-shard lowering folds the mesh position into the dropout seed so
+# data-parallel shards draw independent masks.
+# ---------------------------------------------------------------------------
+
+_MIX = (-1640531527, 97, 1000003)  # per-axis seed decorrelation constants
+
+
+def _spec_entries(sharding, ndim):
+    spec = getattr(sharding, "spec", None)
+    entries = tuple(spec) if spec is not None else ()
+    return entries + (None,) * (ndim - len(entries))
+
+
+def _axis_names(entry):
+    if entry is None:
+        return ()
+    return tuple(entry) if isinstance(entry, (tuple, list)) else (entry,)
+
+
+def _mix_seed(seed, names):
+    for i, nm in enumerate(names):
+        seed = seed + (
+            jax.lax.axis_index(nm) * np.int32(_MIX[i % len(_MIX)])
+        ).astype(jnp.int32)
+    return seed
+
+
+def _make_partitioned(raw_fn, n_qkv_like_out, rule, seed_argnum):
+    """custom_partitioning wrapper: q/k/v (B,H,T,Dh) shard over (b, h); all
+    sequence/feature dims and the bias/seed stay replicated."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    f = custom_partitioning(raw_fn)
+
+    def _shardings(mesh, arg_shapes):
+        b_e, h_e = _spec_entries(arg_shapes[0].sharding, 4)[:2]
+        qkv = NamedSharding(mesh, P(b_e, h_e, None, None))
+        bias = NamedSharding(mesh, P(b_e, None, None))
+        seed = NamedSharding(mesh, P(None))
+        return b_e, h_e, qkv, bias, seed
+
+    def infer(mesh, arg_shapes, result_shape):
+        _, _, qkv, _, _ = _shardings(mesh, arg_shapes)
+        if n_qkv_like_out == 1:
+            return qkv
+        return (qkv,) * n_qkv_like_out
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_e, h_e, qkv, bias, seed_sh = _shardings(mesh, arg_shapes)
+        arg_shardings = tuple(
+            seed_sh if i == seed_argnum else (bias if a.ndim == 3 else qkv)
+            for i, a in enumerate(arg_shapes)
+        )
+        result_shardings = qkv if n_qkv_like_out == 1 else (qkv,) * n_qkv_like_out
+        names = _axis_names(b_e) + _axis_names(h_e)
+
+        def lower_fn(*args):
+            args = list(args)
+            args[seed_argnum] = _mix_seed(args[seed_argnum], names)
+            return raw_fn(*args)
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fwd(prefix_s, dropout_rate, interpret):
+    def raw(q, k, v, bias_rows, seed):
+        return _pallas_fwd(q, k, v, bias_rows, seed, prefix_s, dropout_rate,
+                           interpret)
+
+    return _make_partitioned(
+        raw, 1,
+        "b h q d, b h k d, b h k d, b o k, s -> b h q d",
+        seed_argnum=4,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_bwd(prefix_s, dropout_rate, interpret):
+    def raw(q, k, v, bias_rows, seed, out, do):
+        return tuple(
+            _pallas_bwd(q, k, v, bias_rows, seed, out, do, prefix_s,
+                        dropout_rate, interpret)
+        )
+
+    return _make_partitioned(
+        raw, 3,
+        "b h q d, b h k d, b h k d, b o k, s, b h q d, b h q d "
+        "-> b h q d, b h k d, b h k d",
+        seed_argnum=4,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_attention_padded(
+    q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret
+):
+    return _sharded_fwd(prefix_s, dropout_rate, interpret)(
+        q, k, v, bias_rows, seed
+    )
+
+
+def _fused_fwd(q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret):
+    out = _sharded_fwd(prefix_s, dropout_rate, interpret)(
+        q, k, v, bias_rows, seed
+    )
+    return out, (q, k, v, bias_rows, seed, out)
+
+
+def _fused_bwd(prefix_s, dropout_rate, interpret, res, do):
+    q, k, v, bias_rows, seed, out = res
+    dq, dk, dv = _sharded_bwd(prefix_s, dropout_rate, interpret)(
+        q, k, v, bias_rows, seed, out, do
+    )
+    return (
+        dq, dk, dv,
+        jnp.zeros_like(bias_rows),
+        np.zeros(seed.shape, jax.dtypes.float0),
+    )
+
+
+_fused_attention_padded.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_prefix_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_bias: jnp.ndarray,
+    *,
+    prefix_s: Optional[int] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """(B,Tq,H,Dh) x (B,Tk,H,Dh) -> (B,Tq,H,Dh), differentiable.
+
+    kv_bias: (B, Tk) f32 additive key-validity row (0 visible, <=-1e8 masked).
+    prefix_s: static prefix-LM split (None = key-padding-only "dense" mode,
+      0 = pure causal, s > 0 = [text ; audio] prefix-LM; requires Tq == Tk
+      aligned to the same positions when not None).
+    dropout_rate: attention-prob dropout; bits generated in-kernel from
+      ``dropout_rng`` (distribution parity with the reference's prob dropout;
+      the bitstream itself intentionally differs).
+    interpret: force Pallas interpret mode (defaults to True off-TPU so the
+      same code path runs under the CPU test mesh).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret and dropout_rate > 0.0 and dropout_rng is not None:
+        # The Pallas TPU interpreter stubs prng_random_bits to zeros, which
+        # would silently drop EVERY attention prob.  Callers
+        # (ops.attention_impl) route dropout training to the XLA path off-TPU.
+        raise NotImplementedError(
+            "in-kernel dropout requires a real TPU (interpret-mode PRNG is "
+            "a zero stub)"
+        )
+    b, tq, h, dh = q.shape
+    tk = k.shape[1]
+    bq = min(128, _round_up(tq, 128))
+    tq_p = _round_up(tq, bq)
+    tk_p = _round_up(tk, 128)
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    if tq_p != tq:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
+    if tk_p != tk:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+        kv_bias = jnp.pad(kv_bias, ((0, 0), (0, tk_p - tk)),
+                          constant_values=_NEG)
+    kv_bias = kv_bias.astype(jnp.float32)[:, None, :]  # (B, 1, Tk)
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(dropout_rng, (1,), jnp.uint32), jnp.int32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+        dropout_rate = 0.0
+
+    out = _fused_attention_padded(
+        qt, kt, vt, kv_bias, seed, prefix_s, float(dropout_rate), interpret
+    )
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    if tq_p != tq:
+        out = out[:, :tq]
+    return out

@@ -11,6 +11,10 @@ Convention (same as the reference): ``True`` means MASKED (disallowed).
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 
 
@@ -57,6 +61,47 @@ def merge_padding(attn_mask: jnp.ndarray, key_padding: jnp.ndarray) -> jnp.ndarr
     Parity: ref models/valle.py:850-857.
     """
     return jnp.logical_or(attn_mask[None, None, :, :], key_padding[:, None, None, :])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class AttnMaskSpec:
+    """Structured attention mask: a per-sequence key-validity bias row plus a
+    STATIC prefix-LM split point, instead of a materialized (B, H, Tq, Tk)
+    bias.  The fused Pallas kernel (ops/fused_attention.py) consumes the two
+    parts directly (the structural mask is regenerated from iotas in-kernel);
+    every other attention impl densifies via :meth:`dense` — which is exactly
+    the bias the model built eagerly before round 3, so XLA paths are
+    unchanged.
+
+    kv_bias: (B, Tk) f32, 0 = visible column, -1e9 = masked column.
+    prefix_s: None = key-padding-only (NAR / cross-attention); an int s >= 0
+      = [text ; audio] prefix-LM structural mask on top (s=0 is pure causal,
+      the VALL-F audio decoder; ref models/valle.py:835-861).
+    """
+
+    kv_bias: jnp.ndarray
+    prefix_s: Optional[int] = None
+
+    def dense(self, tq: int) -> jnp.ndarray:
+        """Materialize the (B, 1, Tq, Tk) additive bias."""
+        bias = jnp.broadcast_to(
+            self.kv_bias[:, None, None, :],
+            (self.kv_bias.shape[0], 1, tq, self.kv_bias.shape[1]),
+        )
+        if self.prefix_s is not None:
+            struct = prefix_lm_attn_mask(
+                self.prefix_s, self.kv_bias.shape[1] - self.prefix_s
+            )[:tq]
+            bias = bias + mask_to_bias(struct, bias.dtype)[None, None, :, :]
+        return bias
+
+    def tree_flatten(self):
+        return (self.kv_bias,), (self.prefix_s,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
 
 
 def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
