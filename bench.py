@@ -33,12 +33,15 @@ import numpy as np
 from valle_tpu.utils.flops import chip_peak_flops, train_step_flops
 
 
-def _build_generate(batch=128, nq=8, attn_impl="xla", kv="int8", max_new=512):
+def _build_generate(batch=128, nq=8, attn_impl="xla", kv="int8", max_new=512,
+                    quant="none"):
+    """quant: "none" | "w8" (int8 weights) | "w8a8" (+dynamic act quant)."""
     from valle_tpu.models import ModelConfig, VALLE
     from valle_tpu.sample import generate
 
     cfg = ModelConfig(dtype="bfloat16", num_quantizers=nq,
-                      attn_impl=attn_impl, kv_cache_dtype=kv)
+                      attn_impl=attn_impl, kv_cache_dtype=kv,
+                      act_quant=(quant == "w8a8"))
     model = VALLE(cfg)
     rng = jax.random.PRNGKey(0)
     s, p = 64, 225
@@ -56,31 +59,43 @@ def _build_generate(batch=128, nq=8, attn_impl="xla", kv="int8", max_new=512):
         )
     )
     variables = init(rng)
+    if quant != "none":
+        from valle_tpu.nn.qdense import quantize_variables
 
-    def run(key):
+        variables = jax.jit(quantize_variables)(variables)
+
+    def run(key, stop_lens=None):
         return generate(model, variables, key, x, x_lens, prompt,
                         top_k=10, temperature=1.0, max_new_tokens=max_new,
-                        forbid_eos=True)  # full-length decode (no lucky EOS)
+                        forbid_eos=True,  # full-length decode (no lucky EOS)
+                        stop_lens=stop_lens)
 
     return run
 
 
 def bench_generate(batch=256, nq=8, attn_impl="xla", kv="int8",
-                   iters=3, max_new=512, label=None):
+                   iters=3, max_new=512, label=None, quant="none",
+                   realistic_mix=False):
     """Default B=256: amortizes the per-step weight read over more sequences
     (measured 174 vs 157 audio-s/s at B=128, docs/perf_notes.md)."""
     from valle_tpu import macros
 
-    run = _build_generate(batch, nq, attn_impl, kv, max_new)
+    run = _build_generate(batch, nq, attn_impl, kv, max_new, quant)
+    stop_lens = None
+    if realistic_mix:
+        # mixed-length traffic: per-seq EOS-equivalent stops, 2-6.8 s audio
+        stop_lens = jnp.asarray(
+            np.random.RandomState(0).randint(150, max_new + 1, batch), jnp.int32
+        )
     # compile + warmup; NOTE: host transfer (np.asarray) is the sync point —
     # block_until_ready returns early through the axon tunnel.
-    out = run(jax.random.PRNGKey(1))
+    out = run(jax.random.PRNGKey(1), stop_lens)
     _ = np.asarray(out["codes"])
 
     t0 = time.perf_counter()
     total_tokens = 0
     for i in range(iters):
-        out = run(jax.random.PRNGKey(2 + i))
+        out = run(jax.random.PRNGKey(2 + i), stop_lens)
         total_tokens += int(np.asarray(out["lengths"]).sum())
     dt = time.perf_counter() - t0
     thr = total_tokens / macros.AUDIO_FRAME_RATE / dt
@@ -90,10 +105,46 @@ def bench_generate(batch=256, nq=8, attn_impl="xla", kv="int8",
     return thr
 
 
+def bench_tokenize(batch=16, seconds=10.0, iters=5, label=None):
+    """Corpus EnCodec-encode throughput in audio-s/s on the chip — the
+    wall-clock gate of dataset preparation (ref hot loop
+    bin/tokenizer.py:198-206 runs this batched on GPU; ours is
+    bin/tokenize_dataset.py --batch-frames).  Weight values don't affect
+    throughput, so the model is built with random weights via the same
+    state-dict converter the real path uses."""
+    import torch
+    from transformers import EncodecConfig as HFConfig, EncodecModel
+
+    from valle_tpu.codec.convert import convert_encodec_state_dict
+    from valle_tpu.codec.encodec_model import EncodecJax
+
+    torch.manual_seed(0)
+    hf = EncodecModel(HFConfig())
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    codec = EncodecJax(convert_encodec_state_dict(sd))
+    n = int(seconds * codec.sample_rate)
+    wav = (np.random.RandomState(0).randn(batch, 1, n).astype(np.float32)
+           * 0.1)
+    _ = np.asarray(codec.encode(wav))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _ = np.asarray(codec.encode(wav))
+    dt = (time.perf_counter() - t0) / iters
+    thr = batch * seconds / dt
+    if label:
+        print(f"{label}: B={batch} {dt:.3f}s/batch  {thr:.1f} audio-s/s",
+              file=sys.stderr, flush=True)
+    return thr
+
+
 def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1,
-                **cfg_overrides):
+                prompt_len=0, dtype="bfloat16", **cfg_overrides):
     """Flagship AR training step (BASELINE config 3): bf16, grad-accum 4,
     ~80 s of audio per micro-batch (8 utts x ~10 s at 75 Hz), ScaledAdam.
+
+    train_stage=2 benchmarks BASELINE config 4 instead (NAR stage, prefix-
+    mode-4 prompted features; pass prompt_len=225 for the 3 s prompts and
+    batch=4 for the max-duration-40 recipe, ref README.md:106-112).
 
     Returns {audio_frames_per_s, tokens_per_s, step_time_s, mfu}.
     """
@@ -107,7 +158,9 @@ def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1,
     # MFU 39.5% vs 0.576/29.1% for round 2's xla+full-remat.
     cfg_overrides.setdefault("remat", "none")
     cfg_overrides.setdefault("attn_impl", "fused")
-    cfg = ModelConfig(dtype="bfloat16", **cfg_overrides)
+    if train_stage == 2:
+        cfg_overrides.setdefault("prefix_mode", 4)
+    cfg = ModelConfig(dtype=dtype, **cfg_overrides)
     model = VALLE(cfg)
     tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0)
 
@@ -121,6 +174,10 @@ def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1,
             cfg.num_audio_tokens),
         "audio_features_lens": jnp.full((accum, batch), t, jnp.int32),
     }
+    if prompt_len:
+        batch_arrays["prompt_codes"] = jax.random.randint(
+            rng, (accum, batch, prompt_len, cfg.num_quantizers), 0,
+            cfg.num_audio_tokens)
     state = init_train_state(
         model, tx, rng, jax.tree.map(lambda v: v[0], batch_arrays),
         train_stage=train_stage,
@@ -145,30 +202,50 @@ def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1,
     _ = float(metrics["loss"])  # sync
     dt = (time.perf_counter() - t0) / iters
 
-    # analytic matmul+attention FLOPs of the AR decoder (fwd + ~2x bwd)
-    total = train_step_flops(cfg, accum, batch, s, t, train_stage)
+    # analytic matmul+attention FLOPs of the decoder (fwd + ~2x bwd)
+    total = train_step_flops(cfg, accum, batch, s, t, train_stage, p=prompt_len)
     mfu = total / dt / chip_peak_flops()
 
     frames = accum * batch * t
+    stage_name = {0: "AR+NAR", 1: "AR", 2: "NAR"}[train_stage]
     return {
         "audio_frames_per_s": round(frames / dt, 1),
         "audio_s_per_s": round(frames / 75.0 / dt, 2),
         "step_time_s": round(dt, 4),
         "mfu": round(mfu, 4),
-        "config": f"AR stage{train_stage} bf16 accum{accum} B={batch} "
-                  f"S={s} T={t} ScaledAdam",
+        "config": f"{stage_name} stage{train_stage} {dtype} accum{accum} "
+                  f"B={batch} S={s} T={t}"
+                  + (f" P={prompt_len}" if prompt_len else "")
+                  + " ScaledAdam",
     }
 
 
+def bench_train_nar(dtype="float32", **kw):
+    """BASELINE config 4: NAR stage 2, prefix-mode-4 prompted features,
+    max-duration-40 batch (4 utts x ~10 s), 3 s prompts, fp32 per the
+    reference recipe (ref README.md:106-112)."""
+    return bench_train(batch=4, train_stage=2, prompt_len=225, dtype=dtype,
+                       **kw)
+
+
 def main():
-    value = bench_generate()
+    # Headline: W8A8 int8 serving (the measured round-3 winner: 183.5 vs
+    # 174.0 audio-s/s bf16 — int8 weights halve the decode weight stream and
+    # the NAR Dense matmuls run on the MXU's int8 path; greedy/numeric parity
+    # in tests/test_quantize.py).  bf16 reported alongside.
+    value = bench_generate(quant="w8a8")
+    value_bf16 = bench_generate()
     train = bench_train()
+    train_nar = bench_train_nar()
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
         "value": round(value, 3),
         "unit": "s/s/chip",
         "vs_baseline": round(value / 50.0, 3),
+        "quant": "w8a8",
+        "value_bf16": round(value_bf16, 3),
         "train": train,
+        "train_nar": train_nar,
     }))
 
 
@@ -184,8 +261,60 @@ if __name__ == "__main__":
         bench_generate(batch=128, nq=1, label="AR-only (B=128, Q=1)")
         bench_generate(batch=128, nq=8, label="full (B=128, Q=8)")
         bench_generate(batch=256, nq=8, label="flagship (B=256, Q=8)")
+    elif mode == "qsweep":
+        # int8-weight serving modes vs the bf16 baseline
+        for qm in ("none", "w8", "w8a8"):
+            bench_generate(quant=qm, label=f"quant={qm} (B=256)")
     elif mode == "train":
         print(json.dumps(bench_train()))
+    elif mode == "gen_mix":
+        # Realistic-length traffic. Three rows:
+        #   1. worst-case fixed-512 (the headline lower bound)
+        #   2. mixed lengths in ONE batch — the AR while_loop early-exits,
+        #      but the batch is gated by its longest sequence
+        #   3. the same requests length-bucketed into 4 sorted batches of 64
+        #      (what a serving layer does): short buckets exit early
+        from valle_tpu import macros
+
+        bench_generate(label="worst-case fixed-512")
+        bench_generate(realistic_mix=True, label="mixed 150-512, one batch")
+
+        lens = np.sort(np.random.RandomState(0).randint(150, 513, 256))
+        run64 = _build_generate(batch=64)
+        buckets = [jnp.asarray(lens[i * 64:(i + 1) * 64], jnp.int32)
+                   for i in range(4)]
+        _ = np.asarray(run64(jax.random.PRNGKey(1), buckets[0])["codes"])
+        t0 = time.perf_counter()
+        total = 0
+        for bi, sl in enumerate(buckets):
+            out = run64(jax.random.PRNGKey(2 + bi), sl)
+            total += int(np.asarray(out["lengths"]).sum())
+        dt = time.perf_counter() - t0
+        print(f"mixed 150-512, 4 sorted buckets of 64: {dt:.3f}s  "
+              f"{total / macros.AUDIO_FRAME_RATE / dt:.1f} audio-s/s",
+              file=sys.stderr, flush=True)
+    elif mode == "tokenize":
+        for b in (8, 16, 32, 64):
+            bench_tokenize(batch=b, label="tokenize")
+    elif mode == "train_nar":
+        # recipe-parity fp32 row + the TPU-native bf16 recommendation
+        for dt in ("float32", "bfloat16"):
+            for attn in ("xla", "fused"):
+                try:
+                    r = bench_train_nar(dtype=dt, attn_impl=attn)
+                except Exception as e:
+                    r = {"error": str(e)[:200]}
+                print(json.dumps({"dtype": dt, "attn": attn, **r}))
+    elif mode == "train_geom":
+        # Same optimizer step (sum of grads over 32 utts), different
+        # micro-batch geometry: fused attention freed the remat memory, so
+        # larger micro-batches may fit and utilize the MXU better.
+        for accum, b in ((4, 8), (2, 16), (1, 32)):
+            try:
+                r = bench_train(accum=accum, batch=b)
+            except Exception as e:
+                r = {"error": str(e)[:200]}
+            print(json.dumps({"accum": accum, "batch": b, **r}))
     elif mode == "train_sweep":
         # remat-policy x attn_impl decomposition of the training step
         for remat in ("full", "dots_nobatch", "none"):

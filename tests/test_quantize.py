@@ -1,0 +1,169 @@
+"""int8 weight quantization (serving): numeric error bounds + generate parity.
+
+Covers valle_tpu/nn/qdense.py: the Dense drop-in must be bit-identical to
+flax Dense when unquantized, within per-channel-int8 error when quantized
+(W8), and within combined error under dynamic activation quantization (W8A8).
+End-to-end: a quantized model must agree with the unquantized one on the
+sampled AR tokens for near-deterministic logits and produce valid codes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from valle_tpu.models import ModelConfig, VALLE
+from valle_tpu.nn.qdense import Dense, quantize_variables
+from valle_tpu.sample import generate
+
+
+def _rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+
+
+def test_dense_matches_flax_unquantized():
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (4, 7, 33))
+    ours = Dense(17, dtype=jnp.float32)
+    ref = nn.Dense(17, dtype=jnp.float32)
+    v = ours.init(k, x)
+    np.testing.assert_array_equal(
+        np.asarray(ours.apply(v, x)), np.asarray(ref.apply(v, x))
+    )
+
+
+@pytest.mark.parametrize("act_quant", [False, True])
+def test_dense_quantized_error_bound(act_quant):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(k1, (64, 128))
+    layer = Dense(96, dtype=jnp.float32, act_quant=act_quant)
+    v = layer.init(k2, x)
+    exact = layer.apply(v, x)
+    # top-level module: kernel path is ("kernel",) — quantize it directly
+    from valle_tpu.nn.qdense import _quantize_kernel
+
+    q, scale = _quantize_kernel(v["params"]["kernel"])
+    qv = {"params": {**v["params"], "kernel": q}, "qscale": {"kernel": scale}}
+    approx = layer.apply(qv, x)
+    # per-channel int8: ~0.4% rms weight error; W8A8 adds activation error
+    tol = 0.02 if act_quant else 0.01
+    assert _rel_err(approx, exact) < tol
+
+
+def _tiny_model(**kw):
+    cfg = ModelConfig(
+        decoder_dim=64,
+        nhead=4,
+        num_layers=2,
+        num_quantizers=4,
+        dtype="float32",
+        **kw,
+    )
+    return cfg, VALLE(cfg)
+
+
+def _init_vars(cfg, model, b=2, s=12, t=20):
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(rng, (b, s), 0, cfg.num_text_tokens)
+    y = jax.random.randint(rng, (b, t, cfg.num_quantizers), 0, cfg.num_audio_tokens)
+    return model.init(
+        {"params": rng, "stage": rng},
+        x,
+        jnp.full((b,), s, jnp.int32),
+        y,
+        jnp.full((b,), t, jnp.int32),
+        train_stage=0,
+        deterministic=True,
+        nar_stage=jnp.asarray(2),
+    )
+
+
+def test_quantize_variables_structure():
+    cfg, model = _tiny_model()
+    variables = _init_vars(cfg, model)
+    qv = quantize_variables(variables)
+    # scanned decoder kernels carry the (L, ...) axis and are int8 now
+    lq = qv["params"]["ar_decoder"]["layers"]["self_attn"]["in_proj"]["kernel"]
+    ls = qv["qscale"]["ar_decoder"]["layers"]["self_attn"]["in_proj"]["kernel"]
+    assert lq.dtype == jnp.int8 and lq.shape == (2, 64, 192)
+    assert ls.dtype == jnp.float32 and ls.shape == (2, 192)
+    # embeddings untouched
+    emb = qv["params"]["ar_audio_embedding"]["word_embeddings"]["embedding"]
+    assert emb.dtype != jnp.int8
+    # scoped quantization leaves the AR stack alone
+    qn = quantize_variables(variables, scopes=("nar_decoder",))
+    assert (
+        qn["params"]["ar_decoder"]["layers"]["self_attn"]["in_proj"]["kernel"].dtype
+        != jnp.int8
+    )
+    assert (
+        qn["params"]["nar_decoder"]["layers"]["self_attn"]["in_proj"]["kernel"].dtype
+        == jnp.int8
+    )
+
+
+def test_prefill_logits_close_after_quantization():
+    cfg, model = _tiny_model()
+    variables = _init_vars(cfg, model)
+    qv = quantize_variables(variables)
+    b, s, p = 2, 12, 10
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.randint(rng, (b, s), 0, cfg.num_text_tokens)
+    x_lens = jnp.full((b,), s, jnp.int32)
+    prompt = jax.random.randint(rng, (b, p, cfg.num_quantizers), 0,
+                                cfg.num_audio_tokens)
+    outs = {}
+    for name, v in (("exact", variables), ("quant", qv)):
+        outs[name] = generate(
+            model, v, jax.random.PRNGKey(7), x, x_lens, prompt,
+            top_k=1, temperature=1.0, max_new_tokens=24,
+        )
+    # greedy top_k=1 sampling: identical unless a near-tie flips; random tiny
+    # weights make logits nearly flat, so assert shape/range + >50% agreement
+    c_e, c_q = np.asarray(outs["exact"]["codes"]), np.asarray(outs["quant"]["codes"])
+    assert c_q.shape == c_e.shape
+    assert c_q.min() >= 0 and c_q.max() < cfg.num_audio_tokens
+    agree = (c_e[..., 0] == c_q[..., 0]).mean()
+    assert agree > 0.5, f"AR token agreement {agree}"
+
+
+@pytest.mark.parametrize("act_quant", [False, True])
+def test_generate_quantized_smoke(act_quant):
+    cfg, model = _tiny_model(act_quant=act_quant)
+    variables = _init_vars(cfg, model)
+    qv = quantize_variables(variables)
+    b, s, p = 2, 12, 10
+    rng = jax.random.PRNGKey(4)
+    x = jax.random.randint(rng, (b, s), 0, cfg.num_text_tokens)
+    prompt = jax.random.randint(rng, (b, p, cfg.num_quantizers), 0,
+                                cfg.num_audio_tokens)
+    out = generate(
+        model, qv, jax.random.PRNGKey(5), x, jnp.full((b,), s, jnp.int32),
+        prompt, top_k=10, max_new_tokens=16, forbid_eos=True,
+    )
+    codes = np.asarray(out["codes"])
+    assert codes.shape == (b, 16, cfg.num_quantizers)
+    assert codes.min() >= 0 and codes.max() < cfg.num_audio_tokens
+    assert np.asarray(out["lengths"]).tolist() == [16, 16]
+
+
+def test_train_path_unaffected_by_act_quant_flag():
+    # act_quant=True + unquantized variables must take the exact path
+    cfg0, model0 = _tiny_model()
+    cfg1, model1 = _tiny_model(act_quant=True)
+    variables = _init_vars(cfg0, model0)
+    b, s, t = 2, 12, 20
+    rng = jax.random.PRNGKey(6)
+    x = jax.random.randint(rng, (b, s), 0, cfg0.num_text_tokens)
+    y = jax.random.randint(rng, (b, t, cfg0.num_quantizers), 0,
+                           cfg0.num_audio_tokens)
+    args = (x, jnp.full((b,), s, jnp.int32), y, jnp.full((b,), t, jnp.int32))
+    kw = dict(train_stage=0, deterministic=True, nar_stage=jnp.asarray(2))
+    o0 = model0.apply(variables, *args, **kw)
+    o1 = model1.apply(variables, *args, **kw)
+    np.testing.assert_allclose(
+        np.asarray(o0["loss"]), np.asarray(o1["loss"]), rtol=0, atol=0
+    )

@@ -66,6 +66,11 @@ def get_args():
                         "trainer's --average-period instead of the raw "
                         "params (icefall-style eval weights)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--quantize-weights", type=str, default="none",
+                        choices=("none", "w8", "w8a8"),
+                        help="int8-quantize decoder weights for serving "
+                        "(w8a8 also runs the Dense matmuls on the MXU int8 "
+                        "path); see valle_tpu/nn/qdense.py")
     return parser.parse_args()
 
 
@@ -137,6 +142,8 @@ def main():
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     cfg = config_from_args(args)
+    if args.quantize_weights == "w8a8":
+        cfg = cfg.replace(act_quant=True)
     variant = "vallf" if cfg.model_name.lower() in ("vall-f", "vallf") else "valle"
     model = get_model(cfg)
     params = load_model_params(
@@ -144,6 +151,10 @@ def main():
         use_averaged=args.use_averaged_model,
     )
     variables = {"params": params}
+    if args.quantize_weights != "none":
+        from valle_tpu.nn.qdense import quantize_variables
+
+        variables = quantize_variables(variables)
 
     text_tokenizer = TextTokenizer(backend=args.text_extractor)
     collater = get_text_token_collater(args.text_tokens)

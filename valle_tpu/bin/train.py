@@ -497,14 +497,27 @@ def run_validation(
             and args.model_name.lower() != "transformer"):
         from valle_tpu.models.visualizer import visualize
 
-        enc, dec = model.apply(
-            {"params": state.params},
-            jnp.asarray(first["text_tokens"][0]),
-            jnp.asarray(first["text_tokens_lens"][0]),
-            jnp.asarray(first["audio_features"][0]),
-            jnp.asarray(first["audio_features_lens"][0]),
-            method="visualize_forward",
+        # shard the forward over the mesh's data axis like eval batches —
+        # a plain apply would replicate onto device 0 and could OOM a pod
+        # with a large eval bucket
+        vis_in = mesh_lib.shard_batch(
+            {
+                k: first[k][0]
+                for k in ("text_tokens", "text_tokens_lens",
+                          "audio_features", "audio_features_lens")
+            },
+            mesh,
+            axis=0,
         )
+        with mesh:
+            enc, dec = jax.jit(model.apply, static_argnames=("method",))(
+                {"params": state.params},
+                vis_in["text_tokens"],
+                vis_in["text_tokens_lens"],
+                vis_in["audio_features"],
+                vis_in["audio_features_lens"],
+                method="visualize_forward",
+            )
         visualize(
             (np.asarray(enc, np.float32), np.asarray(dec, np.float32)),
             {

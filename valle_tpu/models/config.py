@@ -63,6 +63,11 @@ class ModelConfig:
     # bools are accepted for round-2 compatibility (True="full", False="none").
     # No effect on inference.
     remat: str = "none"
+    # W8A8 serving mode: when the bound variables carry int8-quantized
+    # kernels (nn.qdense.quantize_variables), also quantize activations
+    # per-row at runtime and run the Dense matmuls on the MXU's int8 path
+    # (2x bf16 peak).  Ignored when variables are unquantized (training).
+    act_quant: bool = False
 
     def __post_init__(self):
         if isinstance(self.remat, bool):

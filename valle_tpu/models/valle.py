@@ -37,6 +37,7 @@ from flax import linen as nn
 from valle_tpu.models.config import ModelConfig
 from valle_tpu.nn.embedding import SinePositionalEmbedding, TokenEmbedding
 from valle_tpu.nn.layers import TransformerStack
+from valle_tpu.nn.qdense import Dense as QDense
 from valle_tpu.ops import masks as mask_ops
 from valle_tpu.ops.sampling import topk_sampling
 
@@ -151,10 +152,12 @@ class VALLE(nn.Module):
             final_norm=cfg.norm_first,
             dtype=dt,
             attn_impl=cfg.attn_impl,
+            act_quant=cfg.act_quant,
             remat=cfg.remat,
         )
-        self.ar_predict_layer = nn.Dense(
-            cfg.num_audio_tokens + 1, use_bias=False, dtype=dt
+        self.ar_predict_layer = QDense(
+            cfg.num_audio_tokens + 1, use_bias=False, dtype=dt,
+            act_quant=cfg.act_quant,
         )
 
         if cfg.num_quantizers > 1:
@@ -190,6 +193,7 @@ class VALLE(nn.Module):
                 final_norm=cfg.norm_first,
                 dtype=dt,
                 attn_impl=cfg.attn_impl,
+                act_quant=cfg.act_quant,
                 remat=cfg.remat,
             )
             # Prediction weights, Dense-kernel layout (nd, V), stacked (Q-1,..).

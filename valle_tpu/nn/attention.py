@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from valle_tpu.nn.qdense import Dense as QDense
 from valle_tpu.ops.attention_impl import dot_product_attention
 
 
@@ -61,6 +62,7 @@ class MultiheadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"  # "xla" | "flash"
     out_kernel_init: Optional[object] = None  # ScaledLinear-style init
+    act_quant: bool = False  # W8A8 matmuls when kernels are int8-quantized
 
     @nn.compact
     def __call__(
@@ -92,17 +94,22 @@ class MultiheadAttention(nn.Module):
             x_kv = x_q
 
         if self_attention:
-            qkv = nn.Dense(
-                3 * d, use_bias=self.bias, dtype=self.dtype, name="in_proj"
+            qkv = QDense(
+                3 * d, use_bias=self.bias, dtype=self.dtype,
+                act_quant=self.act_quant, name="in_proj",
             )(x_q)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             # Cross-attention keeps the same packed parameter layout as the
             # reference (a single in_proj_weight) by slicing one Dense.
-            q = nn.Dense(d, use_bias=self.bias, dtype=self.dtype, name="q_proj")(x_q)
-            kv = nn.Dense(2 * d, use_bias=self.bias, dtype=self.dtype, name="kv_proj")(
-                x_kv
-            )
+            q = QDense(
+                d, use_bias=self.bias, dtype=self.dtype,
+                act_quant=self.act_quant, name="q_proj",
+            )(x_q)
+            kv = QDense(
+                2 * d, use_bias=self.bias, dtype=self.dtype,
+                act_quant=self.act_quant, name="kv_proj",
+            )(x_kv)
             k, v = jnp.split(kv, 2, axis=-1)
 
         b, tq = q.shape[0], q.shape[1]
@@ -140,8 +147,9 @@ class MultiheadAttention(nn.Module):
                 if self.out_kernel_init is None
                 else {"kernel_init": self.out_kernel_init}
             )
-            out = nn.Dense(
-                d, use_bias=self.bias, dtype=self.dtype, name="out_proj", **okw
+            out = QDense(
+                d, use_bias=self.bias, dtype=self.dtype,
+                act_quant=self.act_quant, name="out_proj", **okw,
             )(out)
             return out, new_cache, None
         if kv_cache is not None and len(kv_cache) == 3:
@@ -188,8 +196,9 @@ class MultiheadAttention(nn.Module):
         )
         out = out.reshape(b, tq, d)
         okw = {} if self.out_kernel_init is None else {"kernel_init": self.out_kernel_init}
-        out = nn.Dense(
-            d, use_bias=self.bias, dtype=self.dtype, name="out_proj", **okw
+        out = QDense(
+            d, use_bias=self.bias, dtype=self.dtype,
+            act_quant=self.act_quant, name="out_proj", **okw,
         )(out)
         kv = (k, v) if return_kv else None
         return out, new_cache, kv

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from valle_tpu.nn.attention import MultiheadAttention
+from valle_tpu.nn.qdense import Dense as QDense
 
 
 class AdaptiveLayerNorm(nn.Module):
@@ -106,6 +107,7 @@ class TransformerLayer(nn.Module):
     out_init_scale: float = 1.0  # ScaledLinear(initial_scale) on output projs
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    act_quant: bool = False
     deterministic: bool = True
     return_kv: bool = False
 
@@ -174,17 +176,22 @@ class TransformerLayer(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            act_quant=self.act_quant,
             out_kernel_init=out_init,
             name="self_attn",
         )
         drop = partial(nn.Dropout, rate=self.dropout)
 
         def ff_block(h):
-            h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(h)
+            h = QDense(
+                self.dim_feedforward, dtype=self.dtype,
+                act_quant=self.act_quant, name="linear1",
+            )(h)
             h = self._act(h)
             h = drop(name="ff_drop")(h, deterministic=deterministic)
-            h = nn.Dense(
-                self.d_model, dtype=self.dtype, kernel_init=out_init, name="linear2"
+            h = QDense(
+                self.d_model, dtype=self.dtype, kernel_init=out_init,
+                act_quant=self.act_quant, name="linear2",
             )(h)
             return drop(name="ff_out_drop")(h, deterministic=deterministic)
 
@@ -207,6 +214,7 @@ class TransformerLayer(nn.Module):
                 dropout=self.dropout,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                act_quant=self.act_quant,
                 name="cross_attn",
             )
             out, _, _ = ca(
@@ -255,6 +263,7 @@ class TransformerStack(nn.Module):
     out_init_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    act_quant: bool = False
     # jax.checkpoint policy for each layer: "none" | "full" | "dots_nobatch"
     # (see ModelConfig.remat; bools accepted: True="full", False="none")
     remat: str = "none"
@@ -290,7 +299,7 @@ class TransformerStack(nn.Module):
             layer_cls = nn.remat(layer_cls, prevent_cse=False, policy=policy)
         scan = nn.scan(
             layer_cls,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "qscale": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(
                 0,
@@ -317,6 +326,7 @@ class TransformerStack(nn.Module):
             out_init_scale=self.out_init_scale,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            act_quant=self.act_quant,
             deterministic=deterministic,
             return_kv=return_kv,
             name="layers",

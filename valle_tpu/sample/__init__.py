@@ -81,6 +81,7 @@ def generate(
     temperature: float = 1.0,
     max_new_tokens: int = 1024,
     forbid_eos: bool = False,
+    stop_lens: Optional[jnp.ndarray] = None,
     nar_text: Optional[jnp.ndarray] = None,
     nar_text_lens: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
@@ -90,6 +91,11 @@ def generate(
       x: (B, S) phoneme ids (enrolled + synthesis text for prefix modes 2/4).
       prompt_codes: (B, P, Q) EnCodec codes of the acoustic prompt.
       prompt_lens: (B,) valid prompt lengths (default: full P).
+      stop_lens: optional (B,) per-sequence generation caps — sequence i is
+        finished once it has i's cap tokens even if EOS never fires (serving
+        knob: per-request max length; also how the realistic-length bench
+        models mixed EOS stopping).  The while_loop's all-finished cond exits
+        the AR loop as soon as every sequence hit EOS or its cap.
       nar_text / nar_text_lens: text for the NAR passes when it differs from
         ``x`` (prefix modes 2/4 drop the enrolled phonemes,
         ref valle.py:1068-1079).
@@ -213,6 +219,8 @@ def generate(
         # ref valle.py:1047: (y.shape[1] - prompts.shape[1]) > 16 * x_len,
         # where y includes the BOS when prepend_bos is on.
         too_long = (t + bos) > x_lens * 16
+        if stop_lens is not None:
+            too_long = jnp.logical_or(too_long, t >= stop_lens)
         stop_now = jnp.logical_or(
             jnp.logical_or(argmax_eos, samples == eos), too_long
         )

@@ -28,7 +28,8 @@ def chip_peak_flops(default: float = 197e12) -> float:
 
 
 def train_step_flops(
-    cfg, accum: int, batch: int, s: int, t: int, train_stage: int = 1
+    cfg, accum: int, batch: int, s: int, t: int, train_stage: int = 1,
+    p: int = 0,
 ) -> float:
     """Matmul + attention FLOPs of one optimizer step (fwd + bwd ~ 3x fwd).
 
@@ -52,6 +53,18 @@ def train_step_flops(
             accum * batch * layers * (4 * t * t * d + 4 * t * s * d)
         head = 2 * n_dec * d * (cfg.num_mel_bins + 1)
         return 3.0 * (enc + dec + head)
+
+    if train_stage == 2:
+        # NAR-only step over [text ; prompt(p) ; audio], logits over V on the
+        # audio region (ref README.md:106-112 stage-2 recipe, prefix-mode 4).
+        dn = cfg.nar_decoder_dim
+        ln = cfg.nar_num_layers
+        per_tok_n = 12 * dn * dn
+        t_seq = s + p + t
+        n_tok = accum * batch * t_seq
+        attn = accum * batch * ln * 4 * t_seq * t_seq * dn
+        logits = accum * batch * t * dn * cfg.num_audio_tokens
+        return 3.0 * (2 * n_tok * ln * per_tok_n + 2 * attn + 2 * logits)
 
     v = cfg.num_audio_tokens + 1
     t_xy = s + t + 1  # text + audio + EOS position
