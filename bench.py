@@ -268,12 +268,17 @@ if __name__ == "__main__":
     elif mode == "train":
         print(json.dumps(bench_train()))
     elif mode == "gen_mix":
-        # Realistic-length traffic. Three rows:
+        # Realistic-length traffic. Rows:
         #   1. worst-case fixed-512 (the headline lower bound)
         #   2. mixed lengths in ONE batch — the AR while_loop early-exits,
-        #      but the batch is gated by its longest sequence
-        #   3. the same requests length-bucketed into 4 sorted batches of 64
-        #      (what a serving layer does): short buckets exit early
+        #      but the batch is gated by its longest sequence and the NAR
+        #      region stays the static max_new — measured: no win
+        #   3. the same requests split into 4 sorted batches of 64 — early
+        #      exit per bucket, but B=64 loses batch amortization —
+        #      measured: a clear LOSS
+        #   4. short requests (150-256) served by a dedicated max_new=256
+        #      program at full batch — per-bucket COMPILED programs shrink
+        #      the AR chunks AND the NAR region: the real serving lever
         from valle_tpu import macros
 
         bench_generate(label="worst-case fixed-512")
@@ -293,6 +298,74 @@ if __name__ == "__main__":
         print(f"mixed 150-512, 4 sorted buckets of 64: {dt:.3f}s  "
               f"{total / macros.AUDIO_FRAME_RATE / dt:.1f} audio-s/s",
               file=sys.stderr, flush=True)
+
+        run256 = _build_generate(batch=256, max_new=256)
+        stops = jnp.asarray(
+            np.random.RandomState(0).randint(150, 257, 256), jnp.int32
+        )
+        _ = np.asarray(run256(jax.random.PRNGKey(1), stops)["codes"])
+        t0 = time.perf_counter()
+        total = 0
+        for i in range(3):
+            out = run256(jax.random.PRNGKey(2 + i), stops)
+            total += int(np.asarray(out["lengths"]).sum())
+        dt = (time.perf_counter() - t0)
+        print(f"short bucket 150-256, max_new=256 program, B=256: "
+              f"{dt / 3:.3f}s/iter  "
+              f"{total / macros.AUDIO_FRAME_RATE / dt:.1f} audio-s/s",
+              file=sys.stderr, flush=True)
+    elif mode == "attn_int8_probe":
+        # Can int8 QK^T / PV halve the NAR refinement attention (the
+        # measured 19.75 ms/layer einsum+f32-softmax, docs/perf_notes.md)?
+        # 24 chained layers, carry-dependent, scalar output (probe rules).
+        b, t, h, dh = 256, 800, 16, 64
+        rng = jax.random.PRNGKey(0)
+        q0 = jax.random.normal(rng, (b, t, h, dh), jnp.bfloat16)
+
+        def bf16_layer(x, _):
+            scale = 1.0 / np.sqrt(dh)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", x * scale, x)
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.einsum(
+                "bhqk,bkhd->bqhd", p.astype(x.dtype), x
+            ), None
+
+        def int8_layer(x, _):
+            from valle_tpu.nn.attention import quantize_kv
+
+            x8, xs = quantize_kv(x)  # (b,t,h) scales
+            l32 = jax.lax.dot_general(
+                jnp.swapaxes(x8, 1, 2), jnp.swapaxes(x8, 1, 2),
+                (((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32,
+            )  # (b,h,q,k)
+            sT = jnp.swapaxes(xs, 1, 2)  # (b,h,t)
+            logits = (l32.astype(jnp.float32)
+                      * (sT[:, :, :, None] * sT[:, :, None, :])
+                      / np.sqrt(dh))
+            p = jax.nn.softmax(logits, axis=-1)
+            pmax = jnp.max(p, axis=-1, keepdims=True)
+            ps = jnp.maximum(pmax, 1e-8) / 127.0
+            p8 = jnp.round(p / ps).astype(jnp.int8)
+            o32 = jax.lax.dot_general(
+                p8, jnp.swapaxes(x8, 1, 2),
+                (((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.int32,
+            )  # (b,h,q,d)
+            o = (o32.astype(jnp.float32) * ps
+                 * sT[:, :, :, None]).astype(x.dtype)
+            return jnp.swapaxes(o, 1, 2), None
+
+        for name, layer in (("bf16", bf16_layer), ("int8", int8_layer)):
+            fn = jax.jit(lambda x, f=layer: jnp.sum(
+                jax.lax.scan(f, x, None, length=24)[0].astype(jnp.float32)))
+            _ = float(fn(q0))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                _ = float(fn(q0))
+            dt = (time.perf_counter() - t0) / 3
+            print(f"nar-attn {name}: {dt * 1000 / 24:.2f} ms/layer",
+                  file=sys.stderr, flush=True)
     elif mode == "tokenize":
         for b in (8, 16, 32, 64):
             bench_tokenize(batch=b, label="tokenize")

@@ -54,8 +54,11 @@ def get_args():
                    help="Encodec codes (VALL-E) or BigVGAN fbank features "
                    "(Transformer baseline, ref bin/tokenizer.py:81,148)")
     p.add_argument("--text-extractor", type=str, default="espeak")
-    p.add_argument("--batch-frames", type=int, default=8,
-                   help="wavs encoded per device batch (padded to max len)")
+    p.add_argument("--batch-frames", type=int, default=32,
+                   help="wavs encoded per device batch (padded to max len); "
+                   "32 is the measured v5e optimum — 218.9 audio-s/s vs "
+                   "62.8 at 8 and a regression at 64 (bench.py tokenize, "
+                   "docs/perf_notes.md)")
     p.add_argument("--shard-format", type=str, default="vsh",
                    choices=["vsh", "h5"],
                    help="vsh = packed shards for the native C++ loader")

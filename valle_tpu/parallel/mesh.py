@@ -71,6 +71,37 @@ def param_shardings(params, mesh: Mesh):
     )
 
 
+def quantized_shardings(variables, mesh: Mesh) -> dict:
+    """Shardings for a ``quantize_variables()`` output (int8 serving over a
+    dp x tp mesh).
+
+    ``params`` follow :func:`param_shardings` (int8 kernels sit at the same
+    paths).  ``qscale`` per-output-channel scales shard with their kernel's
+    OUTPUT axis: column-sharded modules (QKV/FFN-in) shard the scale's last
+    axis over 'model'; row-sharded modules (out-proj/FFN-out) keep the full
+    output per shard, so their scales replicate.
+    """
+    column_sharded = ("in_proj", "linear1", "kv_proj", "q_proj")
+    out = {
+        k: v for k, v in variables.items() if k not in ("params", "qscale")
+    }
+    out["params"] = param_shardings(variables["params"], mesh)
+    if "qscale" in variables:
+
+        def spec_for(path, leaf) -> P:
+            names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+            joined = "/".join(names)
+            if any(m in joined for m in column_sharded):
+                return P(*([None] * (leaf.ndim - 1) + ["model"]))
+            return P()
+
+        out["qscale"] = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)),
+            variables["qscale"],
+        )
+    return out
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis: int = 0) -> dict:
     """Device-put a host batch dict with dim ``axis`` over 'data'
     (axis=1 for train batches whose leading dim is the micro-batch axis)."""
