@@ -1,0 +1,110 @@
+"""CLI-level test for valle_tpu.bin.serve: length-bucketed batch serving.
+
+Drives the full path — TSV requests (mixed prompted / promptless), host
+tokenization, bucket routing, padded batched generate, codec decode, and
+the output manifest.  The reference has no serving layer; this pins ours.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+from tests.test_infer_cli import (
+    _FakeCodec,
+    _char_symbols,
+    _save_tiny_checkpoint,
+    D,
+    NHEAD,
+    LAYERS,
+    Q,
+)
+
+
+def test_serve_buckets_and_outputs(tmp_path, monkeypatch):
+    from valle_tpu.bin import serve
+
+    texts = {
+        "short": "hi",
+        "longer": "hello world test hello world",
+        "noprompt": "test hello",
+    }
+    symbols = _char_symbols(tmp_path, " ".join(texts.values()))
+    ckpt = _save_tiny_checkpoint(tmp_path)
+    wav_path = tmp_path / "p.wav"
+    wav_path.write_bytes(b"")
+
+    reqs = tmp_path / "reqs.tsv"
+    reqs.write_text(
+        f"short\t{texts['short']}\t{wav_path}\t-\n"
+        f"longer\t{texts['longer']}\t{wav_path}\t-\n"
+        f"noprompt\t{texts['noprompt']}\t-\t-\n"
+        "# comment line ignored\n"
+    )
+
+    monkeypatch.setattr(serve, "load_codec", lambda path: _FakeCodec())
+    monkeypatch.setattr(
+        serve, "read_wav",
+        lambda path: (np.zeros(24000, np.float32), 24000),
+    )
+    monkeypatch.setattr(serve, "convert_audio", lambda w, sr, tsr, ch: w)
+
+    out_dir = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "serve",
+        "--requests", str(reqs),
+        "--checkpoint", str(ckpt),
+        "--text-tokens", str(symbols),
+        "--text-extractor", "chars",
+        "--codec-checkpoint", "fake.npz",
+        "--decoder-dim", str(D), "--nhead", str(NHEAD),
+        "--num-decoder-layers", str(LAYERS), "--num-quantizers", str(Q),
+        "--output-dir", str(out_dir),
+        "--batch-size", "4",
+        "--length-buckets", "16,32",
+        "--frames-per-phoneme", "4",
+        "--top-k", "1",
+    ])
+    serve.main()
+
+    manifest = [json.loads(l) for l in
+                (out_dir / "manifest.jsonl").read_text().splitlines()]
+    by_id = {m["id"]: m for m in manifest}
+    assert set(by_id) == set(texts)
+    # short text routes to the small bucket, long to the big one
+    assert by_id["short"]["bucket"] == 16
+    assert by_id["longer"]["bucket"] == 32
+    for rid, m in by_id.items():
+        codes = np.load(out_dir / f"{rid}_codes.npy")
+        assert codes.shape == (m["frames"], Q)
+        assert m["frames"] <= m["bucket"]
+        if m["frames"] > 0:
+            assert (out_dir / f"{rid}.wav").exists()
+
+
+def test_serve_quantized_w8a8(tmp_path, monkeypatch):
+    from valle_tpu.bin import serve
+
+    text = "hi test"
+    symbols = _char_symbols(tmp_path, text)
+    ckpt = _save_tiny_checkpoint(tmp_path)
+    reqs = tmp_path / "reqs.tsv"
+    reqs.write_text(f"a\t{text}\t-\t-\n")
+    out_dir = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "serve",
+        "--requests", str(reqs),
+        "--checkpoint", str(ckpt),
+        "--text-tokens", str(symbols),
+        "--text-extractor", "chars",
+        "--decoder-dim", str(D), "--nhead", str(NHEAD),
+        "--num-decoder-layers", str(LAYERS), "--num-quantizers", str(Q),
+        "--output-dir", str(out_dir),
+        "--batch-size", "2",
+        "--length-buckets", "16",
+        "--quantize-weights", "w8a8",
+        "--top-k", "1",
+    ])
+    serve.main()
+    codes = np.load(out_dir / "a_codes.npy")
+    assert codes.ndim == 2 and codes.shape[1] == Q

@@ -45,7 +45,11 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--num-quantizers", type=int, default=8)
     parser.add_argument("--scaling-xformers", type=str2bool, default=False)
     parser.add_argument("--dtype", type=str, default="float32")
-    parser.add_argument("--attn-impl", type=str, default="xla")
+    parser.add_argument("--attn-impl", type=str, default="xla",
+                        help="xla | fused | flash | flash_kp.  Measured "
+                        "winners (docs/perf_notes.md): 'fused' (the custom "
+                        "Pallas kernel) for TRAINING — remat-free flagship "
+                        "steps fit and run fastest; 'xla' for generation")
     parser.add_argument("--kv-cache-dtype", type=str, default="model",
                         help="model | int8 (int8 halves decode KV reads)")
     parser.add_argument("--remat", type=_remat_policy, default="none",
