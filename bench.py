@@ -17,9 +17,18 @@ max-duration-80-equivalent batch, bf16, grad-accum 4, ScaledAdam) and
 reports audio-frames/s, step time, and MFU against the chip's bf16 peak.
 
 Modes (for profiling; the driver runs plain `python bench.py`):
-  python bench.py                 # generate + train, one JSON line
+  python bench.py                 # generate (w8a8 + bf16) + both train
+                                  # stages, one JSON line
   python bench.py sweep           # attn_impl x kv_cache_dtype sweep
   python bench.py phase           # AR-only vs full vs B=256 decomposition
+  python bench.py qsweep          # bf16 vs w8 vs w8a8 serving quantization
+  python bench.py gen_mix         # realistic-length traffic scenarios
+  python bench.py nar_phase       # NAR pass decomposition probe
+  python bench.py attn_int8_probe # int8 attention probe (negative result)
+  python bench.py tokenize        # EnCodec corpus-encode throughput
+  python bench.py train_nar       # NAR/two-stage training (fp32 + bf16)
+  python bench.py train_geom      # micro-batch geometry sweep
+  python bench.py train_sweep     # remat policy x attn_impl sweep
 """
 
 import json
@@ -314,6 +323,113 @@ if __name__ == "__main__":
               f"{dt / 3:.3f}s/iter  "
               f"{total / macros.AUDIO_FRAME_RATE / dt:.1f} audio-s/s",
               file=sys.stderr, flush=True)
+    elif mode == "nar_phase":
+        # Attribute one NAR refinement pass at flagship generation shapes
+        # (B=256, s=64, p=225, gen=512): full pass vs stack-only vs the
+        # embed/positional and predict/argmax ends.  All probe outputs are
+        # scalar-reduced; inputs precomputed outside the timed region.
+        from valle_tpu.models import ModelConfig, VALLE
+        from valle_tpu.ops import masks as mask_ops
+
+        cfg = ModelConfig(dtype="bfloat16", attn_impl="xla")
+        model = VALLE(cfg)
+        b, s, p, t = 256, 64, 225, 512
+        nd = cfg.nar_decoder_dim
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.randint(rng, (b, s), 0, cfg.num_text_tokens)
+        y = jax.random.randint(rng, (b, 64, cfg.num_quantizers), 0,
+                               cfg.num_audio_tokens)
+        variables = jax.jit(lambda k: model.init(
+            {"params": k, "stage": k}, x, jnp.full((b,), s, jnp.int32), y,
+            jnp.full((b,), 64, jnp.int32), train_stage=0, deterministic=True,
+            nar_stage=jnp.asarray(2)))(rng)
+        tokens = jax.random.randint(rng, (b, p + t), 0, cfg.num_audio_tokens)
+        positions = jnp.broadcast_to(jnp.arange(p + t)[None], (b, p + t))
+        bias = mask_ops.mask_to_bias(
+            jnp.zeros((b, 1, 1, s + p + t), bool), jnp.float32)
+        gen_start = s + p
+
+        # NOTE probe pitfall (perf_notes): big arrays must be jit ARGUMENTS,
+        # never closure constants — constants serialize into the program and
+        # ship through the axon tunnel on every compile.
+        x_emb = jax.jit(lambda v, xx: model.apply(
+            v, xx, method="nar_text_encode"))(variables, x)
+        y_emb = jax.jit(lambda v, tt: model.apply(
+            v, tt, method="nar_embed0"))(variables, tokens)
+        xy = jax.jit(lambda v, xe, ye: jnp.concatenate(
+            [xe, model.apply(
+                v, method=lambda m: m._nar_audio_pos(
+                    ye, True, positions=positions))], axis=1)
+        )(variables, x_emb, y_emb)
+        stage_emb = jax.jit(lambda v: model.apply(
+            v, method=lambda m: m.nar_stage_embeddings[0][None]))(variables)
+        dec_dummy = jax.random.normal(rng, (b, t, nd), jnp.bfloat16)
+
+        probes = {
+            "full pass": (
+                lambda v, ye, xe, dd: model.apply(
+                    v, 0, ye, positions, xe, bias, gen_start,
+                    method="nar_forward_stage").sum(),
+                (variables, y_emb, x_emb, dec_dummy)),
+            "stack only": (
+                lambda v, xyv, se, dd: model.apply(
+                    v, method=lambda m: m.nar_decoder(
+                        xyv, stage_emb=se, attn_bias=bias,
+                        deterministic=True)[0].astype(jnp.float32).sum()),
+                (variables, xy, stage_emb, dec_dummy)),
+            "embed+pos": (
+                lambda v, ye, xe, dd: model.apply(
+                    v, method=lambda m: m._nar_audio_pos(
+                        ye, True, positions=positions
+                    ).astype(jnp.float32).sum()),
+                (variables, y_emb, x_emb, dec_dummy)),
+            "predict+argmax": (
+                lambda v, ye, xe, dd: model.apply(
+                    v, method=lambda m: jnp.argmax(
+                        jnp.einsum("btd,dv->btv", dd,
+                                   m._nar_predict_weights()[0].astype(
+                                       dd.dtype)), axis=-1).sum()),
+                (variables, y_emb, x_emb, dec_dummy)),
+        }
+        for name, (fn, fargs) in probes.items():
+            jf = jax.jit(fn)
+            _ = float(jf(*fargs))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                _ = float(jf(*fargs))
+            dt = (time.perf_counter() - t0) / 3
+            print(f"nar {name}: {dt * 1000:.1f} ms", file=sys.stderr,
+                  flush=True)
+    elif mode == "fused_fwd_probe":
+        # Forward-only custom fused kernel vs XLA einsum+softmax at NAR
+        # generation shapes (key-padding-only mask).  24 chained layers,
+        # carry-dependent, scalar output, arrays as arguments.
+        from valle_tpu.ops.fused_attention import fused_prefix_attention
+
+        b, t, h, dh = 256, 800, 16, 64
+        rng = jax.random.PRNGKey(0)
+        q0 = jax.random.normal(rng, (b, t, h, dh), jnp.bfloat16)
+        kv_bias = jnp.zeros((b, t), jnp.float32)  # all-valid key rows
+
+        def xla_layer(x, _):
+            scale = 1.0 / np.sqrt(dh)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", x * scale, x)
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.einsum("bhqk,bkhd->bqhd", p.astype(x.dtype), x), None
+
+        def fused_layer(x, _):
+            return fused_prefix_attention(x, x, x, kv_bias, prefix_s=None), None
+
+        for name, layer in (("xla", xla_layer), ("fused", fused_layer)):
+            fn = jax.jit(lambda x, f=layer: jnp.sum(
+                jax.lax.scan(f, x, None, length=24)[0].astype(jnp.float32)))
+            _ = float(fn(q0))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                _ = float(fn(q0))
+            dt = (time.perf_counter() - t0) / 3
+            print(f"nar-attn fwd {name}: {dt * 1000 / 24:.2f} ms/layer",
+                  file=sys.stderr, flush=True)
     elif mode == "attn_int8_probe":
         # Can int8 QK^T / PV halve the NAR refinement attention (the
         # measured 19.75 ms/layer einsum+f32-softmax, docs/perf_notes.md)?
