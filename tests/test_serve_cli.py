@@ -82,6 +82,43 @@ def test_serve_buckets_and_outputs(tmp_path, monkeypatch):
             assert (out_dir / f"{rid}.wav").exists()
 
 
+def test_serve_dp_tp_mesh(tmp_path, monkeypatch):
+    """--data-parallel/--tensor-parallel: batch sharded over 'data', weights
+    Megatron-sharded over 'model', on the 8-device CPU test mesh, combined
+    with W8A8 quantization (qscale scales shard with their kernels)."""
+    from valle_tpu.bin import serve
+
+    text = "hello world test"
+    symbols = _char_symbols(tmp_path, text)
+    ckpt = _save_tiny_checkpoint(tmp_path)
+    reqs = tmp_path / "reqs.tsv"
+    reqs.write_text("a\thello world\t-\t-\nb\ttest hello\t-\t-\n")
+    out_dir = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "serve",
+        "--requests", str(reqs),
+        "--checkpoint", str(ckpt),
+        "--text-tokens", str(symbols),
+        "--text-extractor", "chars",
+        "--decoder-dim", str(D), "--nhead", str(NHEAD),
+        "--num-decoder-layers", str(LAYERS), "--num-quantizers", str(Q),
+        "--output-dir", str(out_dir),
+        "--batch-size", "4",
+        "--length-buckets", "16",
+        "--data-parallel", "4",
+        "--tensor-parallel", "2",
+        "--quantize-weights", "w8a8",
+        "--top-k", "1",
+    ])
+    serve.main()
+    manifest = [json.loads(l) for l in
+                (out_dir / "manifest.jsonl").read_text().splitlines()]
+    assert {m["id"] for m in manifest} == {"a", "b"}
+    for m in manifest:
+        codes = np.load(out_dir / f"{m['id']}_codes.npy")
+        assert codes.shape == (m["frames"], Q)
+
+
 def test_serve_quantized_w8a8(tmp_path, monkeypatch):
     from valle_tpu.bin import serve
 

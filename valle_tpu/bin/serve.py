@@ -25,6 +25,7 @@ Run: python -m valle_tpu.bin.serve --requests reqs.tsv --checkpoint ...
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import logging
 import time
@@ -72,6 +73,12 @@ def get_args():
                    "enrollment length)")
     p.add_argument("--quantize-weights", type=str, default="none",
                    choices=("none", "w8", "w8a8"))
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard each batch over this many devices (mesh "
+                   "'data' axis; batch-size must divide by it)")
+    p.add_argument("--tensor-parallel", type=int, default=1,
+                   help="Megatron-shard the decoder weights over this many "
+                   "devices (mesh 'model' axis)")
     p.add_argument("--top-k", type=int, default=-100)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
@@ -114,6 +121,25 @@ def main():
         from valle_tpu.nn.qdense import quantize_variables
 
         variables = quantize_variables(variables)
+
+    # multi-chip serving: dp shards the batch, tp Megatron-shards the
+    # weights (and the qscale scales with them); GSPMD inserts the
+    # collectives — exact token parity with single-chip is pinned by
+    # tests/test_sharded_generate.py
+    mesh = None
+    if args.data_parallel * args.tensor_parallel > 1:
+        from valle_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, quantized_shardings,
+        )
+
+        assert args.batch_size % args.data_parallel == 0, (
+            "--batch-size must divide by --data-parallel")
+        mesh = make_mesh(args.data_parallel, args.tensor_parallel)
+        with mesh:
+            variables = jax.tree.map(
+                jax.device_put, variables, quantized_shardings(variables, mesh)
+            )
+        bshard = batch_sharding(mesh)
 
     tokenizer = TextTokenizer(backend=args.text_extractor)
     collater = get_text_token_collater(args.text_tokens)
@@ -159,6 +185,9 @@ def main():
             chunk = group[i : i + args.batch_size]
             n = len(chunk)
             b = args.batch_size if len(group) > args.batch_size else n
+            if mesh is not None:  # batch must divide over the data axis
+                dp = args.data_parallel
+                b = max(dp, -(-b // dp) * dp)
             # pad ragged shapes to the batch maxima (one compile per
             # (S, P, max_new) triple; S/P rounded up to multiples of 16
             # to bound program count)
@@ -183,15 +212,21 @@ def main():
                 plens[j] = max(len(pr), 0)
             rng, sub = jax.random.split(rng)
             t0 = time.perf_counter()
-            out = generate(
-                model, variables, sub,
-                jnp.asarray(x), jnp.asarray(x_lens), jnp.asarray(prompts),
-                jnp.asarray(plens),
-                top_k=args.top_k, temperature=args.temperature,
-                max_new_tokens=bucket,
-                nar_text=jnp.asarray(nar_x),
-                nar_text_lens=jnp.asarray(nar_lens),
-            )
+            if mesh is not None:
+                put = lambda a: jax.device_put(jnp.asarray(a), bshard)
+                ctx = mesh
+            else:
+                put = jnp.asarray
+                ctx = contextlib.nullcontext()
+            with ctx:
+                out = generate(
+                    model, variables, sub,
+                    put(x), put(x_lens), put(prompts), put(plens),
+                    top_k=args.top_k, temperature=args.temperature,
+                    max_new_tokens=bucket,
+                    nar_text=put(nar_x),
+                    nar_text_lens=put(nar_lens),
+                )
             codes = np.asarray(out["codes"])[:n]
             lengths = np.asarray(out["lengths"])[:n]
             dt = time.perf_counter() - t0
