@@ -114,13 +114,15 @@ def bench_generate(batch=256, nq=8, attn_impl="xla", kv="int8",
     return thr
 
 
-def bench_tokenize(batch=16, seconds=10.0, iters=5, label=None):
+def bench_tokenize(batch=16, seconds=10.0, iters=5, label=None,
+                   decode=False):
     """Corpus EnCodec-encode throughput in audio-s/s on the chip — the
     wall-clock gate of dataset preparation (ref hot loop
     bin/tokenizer.py:198-206 runs this batched on GPU; ours is
-    bin/tokenize_dataset.py --batch-frames).  Weight values don't affect
-    throughput, so the model is built with random weights via the same
-    state-dict converter the real path uses."""
+    bin/tokenize_dataset.py --batch-frames).  ``decode=True`` measures the
+    codes->wav direction instead (the serving post-process).  Weight values
+    don't affect throughput, so the model is built with random weights via
+    the same state-dict converter the real path uses."""
     import torch
     from transformers import EncodecConfig as HFConfig, EncodecModel
 
@@ -132,12 +134,18 @@ def bench_tokenize(batch=16, seconds=10.0, iters=5, label=None):
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
     codec = EncodecJax(convert_encodec_state_dict(sd))
     n = int(seconds * codec.sample_rate)
-    wav = (np.random.RandomState(0).randn(batch, 1, n).astype(np.float32)
-           * 0.1)
-    _ = np.asarray(codec.encode(wav))  # compile + warmup
+    if decode:
+        codes = np.random.RandomState(0).randint(
+            0, 1024, (batch, int(seconds * 75), 8)).astype(np.int32)
+        run = lambda: np.asarray(codec.decode(codes))
+    else:
+        wav = (np.random.RandomState(0).randn(batch, 1, n).astype(np.float32)
+               * 0.1)
+        run = lambda: np.asarray(codec.encode(wav))
+    _ = run()  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(iters):
-        _ = np.asarray(codec.encode(wav))
+        _ = run()
     dt = (time.perf_counter() - t0) / iters
     thr = batch * seconds / dt
     if label:
@@ -485,6 +493,115 @@ if __name__ == "__main__":
     elif mode == "tokenize":
         for b in (8, 16, 32, 64):
             bench_tokenize(batch=b, label="tokenize")
+        for b in (16, 32):
+            bench_tokenize(batch=b, decode=True, label="decode")
+    elif mode == "train_phase":
+        # Attribute the 0.425 s AR train step: forward loss only, forward +
+        # backward (grads, accum scan), and the ScaledAdam update alone.
+        from valle_tpu.models import ModelConfig, VALLE
+        from valle_tpu.optim import eden_lr, scaled_adam
+        from valle_tpu.train.state import partition_params
+        from valle_tpu.train.step import init_train_state, make_train_step
+
+        accum, b, s, t = 4, 8, 128, 752
+        cfg = ModelConfig(dtype="bfloat16", attn_impl="fused", remat="none")
+        model = VALLE(cfg)
+        tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0)
+        rng = jax.random.PRNGKey(0)
+        batch = {
+            "text_tokens": jax.random.randint(rng, (accum, b, s), 0,
+                                              cfg.num_text_tokens),
+            "text_tokens_lens": jnp.full((accum, b), s, jnp.int32),
+            "audio_features": jax.random.randint(
+                rng, (accum, b, t, cfg.num_quantizers), 0,
+                cfg.num_audio_tokens),
+            "audio_features_lens": jnp.full((accum, b), t, jnp.int32),
+        }
+        state = init_train_state(
+            model, tx, rng, jax.tree.map(lambda v: v[0], batch),
+            train_stage=1)
+        train_p, frozen_p = partition_params(state.params, 1)
+        mk_key = lambda i: jax.random.key(i, impl="rbg")
+
+        def loss_fn(tp, micro, key):
+            from valle_tpu.train.state import merge_params
+
+            out = model.apply(
+                {"params": merge_params(tp, frozen_p)},
+                micro["text_tokens"], micro["text_tokens_lens"],
+                micro["audio_features"], micro["audio_features_lens"],
+                train_stage=1, deterministic=False,
+                rngs={"dropout": key, "stage": key},
+            )
+            return out["loss"]
+
+        def fwd_all(tp, bb, key):
+            keys = jax.random.split(key, accum)
+            return jax.lax.scan(
+                lambda c, inp: (c + loss_fn(tp, inp[0], inp[1]), None),
+                jnp.zeros(()), (bb, keys))[0]
+
+        def grads_all(tp, bb, key):
+            keys = jax.random.split(key, accum)
+
+            def mic(c, inp):
+                l, g = jax.value_and_grad(loss_fn)(tp, inp[0], inp[1])
+                return jax.tree.map(jnp.add, c, g), l
+
+            zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                                 tp)
+            g, _ = jax.lax.scan(mic, zeros, (bb, keys))
+            return jax.tree.map(lambda x: jnp.sum(jnp.abs(x)), g)
+
+        grads_fixed = jax.jit(lambda tp, bb, key: jax.lax.scan(
+            lambda c, inp: (jax.tree.map(
+                jnp.add, c, jax.grad(loss_fn)(tp, inp[0], inp[1])), None),
+            jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), tp),
+            (bb, jax.random.split(key, accum)))[0]
+        )(train_p, batch, mk_key(0))
+
+        def opt_only(tp, g, st):
+            upd, new_st = tx.update(g, st, tp, lr=0.05)
+            return jnp.sum(jnp.abs(upd["ar_predict_layer"]["kernel"])), new_st
+
+        step = make_train_step(model, tx,
+                               lambda st, e: eden_lr(0.05, st, e),
+                               train_stage=1)
+        epoch = jnp.zeros((), jnp.int32)
+        # sync via float() host transfers — block_until_ready returns early
+        # through the axon tunnel (see probe gotchas above)
+        cases = {
+            "fwd only": (jax.jit(fwd_all),
+                         lambda i: (train_p, batch, mk_key(i)),
+                         lambda o: float(o)),
+            "fwd+bwd": (jax.jit(
+                lambda tp, bb, key: jax.tree_util.tree_reduce(
+                    jnp.add, grads_all(tp, bb, key))),
+                        lambda i: (train_p, batch, mk_key(i)),
+                        lambda o: float(o)),
+            "optimizer only": (jax.jit(opt_only),
+                               lambda i: (train_p, grads_fixed,
+                                          state.opt_state),
+                               lambda o: float(o[0])),
+        }
+        for name, (fn, argf, sync) in cases.items():
+            _ = sync(fn(*argf(1)))
+            t0 = time.perf_counter()
+            for i in range(5):
+                out = fn(*argf(2 + i))
+            _ = sync(out)
+            dt = (time.perf_counter() - t0) / 5
+            print(f"train {name}: {dt * 1000:.1f} ms", file=sys.stderr,
+                  flush=True)
+        st = state
+        st, m = step(st, batch, mk_key(1), epoch)  # warmup (donates input)
+        _ = float(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(5):
+            st, m = step(st, batch, mk_key(2 + i), epoch)
+        _ = float(m["loss"])
+        print(f"train full step: {(time.perf_counter() - t0) / 5 * 1000:.1f}"
+              " ms", file=sys.stderr, flush=True)
     elif mode == "train_nar":
         # recipe-parity fp32 row + the TPU-native bf16 recommendation
         for dt in ("float32", "bfloat16"):
