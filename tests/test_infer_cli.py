@@ -66,7 +66,7 @@ class _FakeCodec:
 
     def decode(self, codes):
         t = codes.shape[1] * 320
-        return jnp.zeros((1, t), jnp.float32)
+        return jnp.zeros((codes.shape[0], t), jnp.float32)
 
 
 def _run_cli(monkeypatch, argv):

@@ -234,15 +234,23 @@ def main():
                 f"  batch of {n}: {dt:.2f}s "
                 f"({lengths.sum() / 75.0 / dt:.1f} audio-s/s)"
             )
-            for r, c, L in zip(chunk, codes, lengths):
+            wavs = None
+            if codec is not None and lengths.max(initial=0) > 0:
+                # one batched decode per generation batch (B=1 decodes
+                # measured ~4x slower than B=64, bench.py tokenize); the
+                # decoder is causal, so trimming the padded output to each
+                # request's L*hop samples equals an unpadded decode
+                tmax = int(lengths.max())
+                wavs = np.asarray(codec.decode(codes[:, :tmax]))
+                hop = 320
+            for j, (r, c, L) in enumerate(zip(chunk, codes, lengths)):
                 L = int(L)
                 np.save(args.output_dir / f"{r['id']}_codes.npy", c[:L])
                 entry = {"id": r["id"], "frames": L, "seconds": L / 75.0,
                          "bucket": bucket}
-                if codec is not None and L > 0:
-                    wav = np.asarray(codec.decode(c[None, :L]))[0]
+                if wavs is not None and L > 0:
                     write_wav(str(args.output_dir / f"{r['id']}.wav"),
-                              wav, codec.sample_rate)
+                              wavs[j][..., : L * hop], codec.sample_rate)
                 manifest.append(entry)
     total_s = sum(m["seconds"] for m in manifest)
     wall = time.perf_counter() - wall0
