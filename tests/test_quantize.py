@@ -150,6 +150,43 @@ def test_generate_quantized_smoke(act_quant):
     assert np.asarray(out["lengths"]).tolist() == [16, 16]
 
 
+@pytest.mark.parametrize("act_quant", [False, True])
+def test_generate_quantized_vallf(act_quant):
+    """VALL-F routes cross-attention through q_proj/kv_proj Dense layers —
+    the packed-in_proj path of VALL-E never touches them, so quantize the
+    decoder-with-memory variant end-to-end too."""
+    from valle_tpu.models.valle import VALLF
+
+    cfg = ModelConfig(
+        decoder_dim=64, nhead=4, num_layers=2, num_quantizers=4,
+        dtype="float32", act_quant=act_quant,
+    )
+    model = VALLF(cfg)
+    rng = jax.random.PRNGKey(2)
+    b, s, p = 2, 12, 10
+    x = jax.random.randint(rng, (b, s), 0, cfg.num_text_tokens)
+    y = jax.random.randint(rng, (b, 20, 4), 0, cfg.num_audio_tokens)
+    variables = model.init(
+        {"params": rng, "stage": rng},
+        x, jnp.full((b,), s, jnp.int32), y, jnp.full((b,), 20, jnp.int32),
+        train_stage=0, deterministic=True, nar_stage=jnp.asarray(2),
+    )
+    qv = quantize_variables(variables)
+    # cross-attention projections got quantized
+    assert (
+        qv["params"]["ar_decoder"]["layers"]["cross_attn"]["q_proj"]["kernel"]
+        .dtype == jnp.int8
+    )
+    prompt = jax.random.randint(rng, (b, p, 4), 0, cfg.num_audio_tokens)
+    out = generate(
+        model, qv, jax.random.PRNGKey(5), x, jnp.full((b,), s, jnp.int32),
+        prompt, top_k=10, max_new_tokens=12, forbid_eos=True,
+    )
+    codes = np.asarray(out["codes"])
+    assert codes.shape == (b, 12, 4)
+    assert codes.min() >= 0 and codes.max() < cfg.num_audio_tokens
+
+
 def test_train_path_unaffected_by_act_quant_flag():
     # act_quant=True + unquantized variables must take the exact path
     cfg0, model0 = _tiny_model()
