@@ -209,7 +209,7 @@ def main():
             for j, r in enumerate(chunk):
                 pr = r["prompt"]
                 prompts[j, : len(pr)] = pr
-                plens[j] = max(len(pr), 0)
+                plens[j] = len(pr)
             rng, sub = jax.random.split(rng)
             t0 = time.perf_counter()
             if mesh is not None:
