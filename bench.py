@@ -114,25 +114,19 @@ def bench_generate(batch=256, nq=8, attn_impl="xla", kv="int8",
     return thr
 
 
+def functools_partial_lstm(em, unroll):
+    """lstm-only probe fn for decode_phase (module-level for jit clarity)."""
+    return lambda lp, x: jnp.sum(em.lstm_stack(lp, x, unroll=unroll))
+
+
 def bench_tokenize(batch=16, seconds=10.0, iters=5, label=None,
                    decode=False):
     """Corpus EnCodec-encode throughput in audio-s/s on the chip — the
     wall-clock gate of dataset preparation (ref hot loop
     bin/tokenizer.py:198-206 runs this batched on GPU; ours is
     bin/tokenize_dataset.py --batch-frames).  ``decode=True`` measures the
-    codes->wav direction instead (the serving post-process).  Weight values
-    don't affect throughput, so the model is built with random weights via
-    the same state-dict converter the real path uses."""
-    import torch
-    from transformers import EncodecConfig as HFConfig, EncodecModel
-
-    from valle_tpu.codec.convert import convert_encodec_state_dict
-    from valle_tpu.codec.encodec_model import EncodecJax
-
-    torch.manual_seed(0)
-    hf = EncodecModel(HFConfig())
-    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
-    codec = EncodecJax(convert_encodec_state_dict(sd))
+    codes->wav direction instead (the serving post-process)."""
+    codec = _build_codec()
     n = int(seconds * codec.sample_rate)
     if decode:
         codes = np.random.RandomState(0).randint(
@@ -150,6 +144,82 @@ def bench_tokenize(batch=16, seconds=10.0, iters=5, label=None,
     thr = batch * seconds / dt
     if label:
         print(f"{label}: B={batch} {dt:.3f}s/batch  {thr:.1f} audio-s/s",
+              file=sys.stderr, flush=True)
+    return thr
+
+
+def _build_codec():
+    """Random-weight EnCodec through the real state-dict converter (weight
+    values don't affect throughput)."""
+    import torch
+    from transformers import EncodecConfig as HFConfig, EncodecModel
+
+    from valle_tpu.codec.convert import convert_encodec_state_dict
+    from valle_tpu.codec.encodec_model import EncodecJax
+
+    torch.manual_seed(0)
+    hf = EncodecModel(HFConfig())
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    return EncodecJax(convert_encodec_state_dict(sd))
+
+
+def bench_end_to_end(batch=256, iters=3, max_new=512, quant="w8a8",
+                     decode_chunk=128, pipelined=True, label=None):
+    """North-star WAV-OUT serving rate: token generation -> EnCodec decode ->
+    int16 waveforms fetched to the host, per wall second per chip.
+
+    The round-3 headline excluded codec decode (ref bin/infer.py:251-257
+    decodes after generation); this measures the full thing.  One chip runs
+    both phases, so the rate composes as 1/(1/gen + 1/dec) — the lever is
+    decode throughput (round 4: LSTM input-proj hoist + scan unroll + flat
+    RVQ gather took decode 176 -> ~1000+ audio-s/s, docs/perf_notes.md).
+
+    ``pipelined=True`` dispatches iteration i+1's generation before fetching
+    iteration i's wavs, so the device->host wav transfer (int16, converted
+    on device) rides under the next batch's compute instead of serializing
+    after it.
+    """
+    from valle_tpu import macros
+
+    run = _build_generate(batch, 8, "xla", "int8", max_new, quant)
+    codec = _build_codec()
+    hop = codec.cfg.hop_length
+
+    def decode_all(codes):
+        return [
+            codec.decode(codes[j : j + decode_chunk], out_int16=True)
+            for j in range(0, batch, decode_chunk)
+        ]
+
+    # compile + warmup both programs
+    out = run(jax.random.PRNGKey(1))
+    wavs = decode_all(out["codes"])
+    _ = [np.asarray(w) for w in wavs]
+
+    t0 = time.perf_counter()
+    total_tokens = 0
+    pending = None
+    nsamples = 0
+    for i in range(iters):
+        out = run(jax.random.PRNGKey(2 + i))
+        wavs = decode_all(out["codes"])
+        total_tokens += batch * max_new  # forbid_eos: full-length decode
+        if not pipelined:
+            host = [np.asarray(w) for w in wavs]
+            nsamples += sum(h.size for h in host)
+            continue
+        if pending is not None:  # fetch batch i-1 while batch i computes
+            host = [np.asarray(w) for w in pending]
+            nsamples += sum(h.size for h in host)
+        pending = wavs
+    if pending is not None:
+        host = [np.asarray(w) for w in pending]
+        nsamples += sum(h.size for h in host)
+    dt = time.perf_counter() - t0
+    thr = total_tokens / macros.AUDIO_FRAME_RATE / dt
+    assert nsamples == iters * batch * max_new * hop  # every sample landed
+    if label:
+        print(f"{label}: {dt / iters:.3f}s/iter  {thr:.1f} audio-s/s wav-out",
               file=sys.stderr, flush=True)
     return thr
 
@@ -230,6 +300,9 @@ def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1,
         "audio_s_per_s": round(frames / 75.0 / dt, 2),
         "step_time_s": round(dt, 4),
         "mfu": round(mfu, 4),
+        # one scale for every row, fp32 recipes included: f32 dots run as
+        # bf16 MXU passes at JAX's default precision (utils/flops.py note)
+        "mfu_vs": "bf16-peak",
         "config": f"{stage_name} stage{train_stage} {dtype} accum{accum} "
                   f"B={batch} S={s} T={t}"
                   + (f" P={prompt_len}" if prompt_len else "")
@@ -251,6 +324,7 @@ def main():
     # the NAR Dense matmuls run on the MXU's int8 path; greedy/numeric parity
     # in tests/test_quantize.py).  bf16 reported alongside.
     value = bench_generate(quant="w8a8")
+    value_e2e = bench_end_to_end(quant="w8a8")
     value_bf16 = bench_generate()
     train = bench_train()
     train_nar = bench_train_nar()
@@ -260,6 +334,12 @@ def main():
         "unit": "s/s/chip",
         "vs_baseline": round(value / 50.0, 3),
         "quant": "w8a8",
+        # the north-star WAV-OUT rate: generation + EnCodec decode + host
+        # int16 wav fetch, one chip doing everything (vs_baseline's >= 50
+        # north star reads "producing mel-allclose waveforms" — this is
+        # that number; `value` is token-generation only)
+        "end_to_end": round(value_e2e, 3),
+        "end_to_end_vs_baseline": round(value_e2e / 50.0, 3),
         "value_bf16": round(value_bf16, 3),
         "train": train,
         "train_nar": train_nar,
@@ -278,6 +358,12 @@ if __name__ == "__main__":
         bench_generate(batch=128, nq=1, label="AR-only (B=128, Q=1)")
         bench_generate(batch=128, nq=8, label="full (B=128, Q=8)")
         bench_generate(batch=256, nq=8, label="flagship (B=256, Q=8)")
+    elif mode == "e2e":
+        # wav-out end-to-end: serial vs pipelined fetch, w8a8 vs bf16
+        bench_end_to_end(quant="w8a8", pipelined=False,
+                         label="e2e w8a8 serial-fetch")
+        bench_end_to_end(quant="w8a8", label="e2e w8a8 pipelined")
+        bench_end_to_end(label="e2e bf16 pipelined")
     elif mode == "qsweep":
         # int8-weight serving modes vs the bf16 baseline
         for qm in ("none", "w8", "w8a8"):
@@ -495,6 +581,86 @@ if __name__ == "__main__":
             bench_tokenize(batch=b, label="tokenize")
         for b in (16, 32):
             bench_tokenize(batch=b, decode=True, label="decode")
+    elif mode == "decode_phase":
+        # Decompose EnCodec decode (the wav-out serving post-process): full
+        # codes->wav, RVQ-only, conv-stack-only (LSTM stubbed), LSTM-only at
+        # the bottleneck shape, for several unroll factors.  All probe
+        # outputs scalar-reduced, arrays passed as jit arguments.
+        import torch
+        from transformers import EncodecConfig as HFConfig, EncodecModel
+
+        from valle_tpu.codec import encodec_model as em
+        from valle_tpu.codec.convert import convert_encodec_state_dict
+
+        torch.manual_seed(0)
+        hf = EncodecModel(HFConfig())
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params = convert_encodec_state_dict(sd)
+        cfg = em.EncodecConfig()
+        b, secs = 64, 10.0
+        t = int(secs * 75)
+        codes = jnp.asarray(np.random.RandomState(0).randint(
+            0, 1024, (b, t, 8)).astype(np.int32))
+
+        def timeit(name, fn, *args, iters=5):
+            # dispatch all iters, sync ONCE: a per-iter float() sync pays the
+            # axon tunnel round trip every iteration, which dominates
+            # sub-second probes and made round-4 run-to-run numbers noisy
+            _ = float(fn(*args))
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(iters)]
+            _ = float(outs[-1])
+            dt = (time.perf_counter() - t0) / iters
+            print(f"decode {name}: {dt * 1000:.1f} ms  "
+                  f"({b * secs / dt:.1f} audio-s/s)", file=sys.stderr,
+                  flush=True)
+            return dt
+
+        # tunnel round-trip floor: a scalar add, synced
+        tiny = jax.jit(lambda a: a + 1.0)
+        _ = float(tiny(jnp.float32(0)))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            _ = float(tiny(jnp.float32(0)))
+        print(f"tunnel round trip: {(time.perf_counter() - t0) / 5 * 1000:.1f}"
+              " ms", file=sys.stderr, flush=True)
+
+        full = jax.jit(lambda p, c: jnp.sum(em.decode_latents(
+            p, em.rvq_decode(p["quantizer"], c), cfg)))
+        rvq = jax.jit(lambda p, c: jnp.sum(em.rvq_decode(p["quantizer"], c)))
+        timeit("full", full, params, codes)
+        timeit("rvq only", rvq, params, codes)
+
+        real_lstm = em.lstm_stack
+        try:
+            em.lstm_stack = lambda p, x, **kw: x  # stub out the recurrence
+            convs = jax.jit(lambda p, c: jnp.sum(em.decode_latents(
+                p, em.rvq_decode(p["quantizer"], c), cfg)))
+            timeit("convs only (no LSTM)", convs, params, codes)
+        finally:
+            em.lstm_stack = real_lstm
+
+        lat = jax.random.normal(jax.random.PRNGKey(0), (b, t, 512),
+                                jnp.float32)
+        for unroll in (1, 4, 8, 16, 32):
+            f = jax.jit(functools_partial_lstm(em, unroll))
+            timeit(f"lstm-only unroll={unroll}", f,
+                   params["decoder"]["layers_1"], lat)
+        # batch sweep of the full decode at the current defaults
+        for bb in (32, 64, 128, 256):
+            try:
+                cb = jnp.asarray(np.random.RandomState(0).randint(
+                    0, 1024, (bb, t, 8)).astype(np.int32))
+                _ = float(full(params, cb))
+                t0 = time.perf_counter()
+                outs = [full(params, cb) for _ in range(3)]
+                _ = float(outs[-1])
+                dt = (time.perf_counter() - t0) / 3
+                print(f"decode full B={bb}: {dt:.3f} s ({bb * secs / dt:.1f} "
+                      f"audio-s/s)", file=sys.stderr, flush=True)
+            except Exception as e:
+                print(f"decode full B={bb}: {str(e)[:120]}", file=sys.stderr,
+                      flush=True)
     elif mode == "train_phase":
         # Attribute the 0.425 s AR train step: forward loss only, forward +
         # backward (grads, accum scan), and the ScaledAdam update alone.

@@ -59,14 +59,20 @@ class _FakeCodec:
     sample_rate = 24000
     channels = 1
 
+    class cfg:
+        hop_length = 320
+        frame_rate = 75
+
     def encode(self, wav):
+        b = wav.shape[0] if wav.ndim > 1 else 1
         t = max(wav.shape[-1] // 320, 8)
         rng = np.random.RandomState(0)
-        return jnp.asarray(rng.randint(0, 1024, (1, t, Q)), jnp.int32)
+        return jnp.asarray(rng.randint(0, 1024, (b, t, Q)), jnp.int32)
 
-    def decode(self, codes):
+    def decode(self, codes, out_int16=False):
         t = codes.shape[1] * 320
-        return jnp.zeros((codes.shape[0], t), jnp.float32)
+        dt = jnp.int16 if out_int16 else jnp.float32
+        return jnp.zeros((codes.shape[0], t), dt)
 
 
 def _run_cli(monkeypatch, argv):

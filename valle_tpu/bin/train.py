@@ -408,11 +408,19 @@ def run(args):
 
 
 def scan_batch_shapes_for_oom(args, cfg, loader, step_fn, state, train_mesh):
-    """Pre-flight: run one synthetic train step per distinct batch shape the
+    """Pre-flight: AOT-compile one train step per distinct batch shape the
     sampler will produce this epoch (ref scan_pessimistic_batches_for_oom,
-    trainer.py:1096-1140).  Surfaces OOM before hours of training AND
-    pre-warms the jit cache so epoch 1 has no mid-epoch compile stalls.
-    Runs on a throwaway copy of the state (the step donates its input)."""
+    trainer.py:1096-1140).  Surfaces OOM before hours of training AND warms
+    the (persistent) XLA compile cache so epoch 1 has no mid-epoch compile
+    stalls.
+
+    Compile-only on purpose: on TPU the OOM failure mode is the compiler's
+    HBM assignment (every OOM observed in docs/perf_notes.md was a compile
+    error), and ``.lower().compile()`` traces the REAL state without copying
+    or donating it — the earlier executed scan deep-copied params+optimizer
+    state, ~2x optimizer-state HBM, which could itself OOM configs the real
+    loop would survive.  Per-shape peak memory is logged from the compiled
+    program's memory analysis."""
     sampler = loader.sampler
     shapes = sorted(
         {
@@ -427,7 +435,6 @@ def scan_batch_shapes_for_oom(args, cfg, loader, step_fn, state, train_mesh):
     logging.info(f"OOM pre-scan / jit pre-warm over {len(shapes)} batch shapes")
     rng = np.random.RandomState(0)
     a = args.accumulate_grad_steps
-    scan_state = jax.tree.map(jnp.copy, state)
     float_features = loader.dataset.float_features
     with train_mesh:
         for s, t, bsz in shapes:
@@ -455,18 +462,27 @@ def scan_batch_shapes_for_oom(args, cfg, loader, step_fn, state, train_mesh):
                 ).astype(np.int32)
             sharded = mesh_lib.shard_batch(arrays, train_mesh, axis=1)
             try:
-                scan_state, m = step_fn(
-                    scan_state, sharded, jax.random.PRNGKey(0),
+                compiled = step_fn.lower(
+                    state, sharded, jax.random.PRNGKey(0),
                     jnp.zeros((), jnp.int32),
-                )
-                jax.block_until_ready(m["loss"])
+                ).compile()
+                try:
+                    mem = compiled.memory_analysis()
+                    peak_gb = (
+                        mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                    ) / 2**30
+                    logging.info(
+                        f"  shape B={bsz} S={s} T={t}: "
+                        f"temp+args {peak_gb:.2f} GiB"
+                    )
+                except Exception:  # memory analysis is backend-optional
+                    pass
             except Exception:
                 logging.error(
                     f"OOM-scan failure at shape B={bsz} S={s} T={t} "
                     f"(accum {a}); reduce --max-duration"
                 )
                 raise
-    del scan_state
 
 
 def run_validation(

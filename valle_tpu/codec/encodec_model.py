@@ -140,11 +140,22 @@ def causal_conv_transpose1d(
     return out[:, pl : out.shape[1] - pr]
 
 
-def lstm_stack(params: List[Dict], x: jnp.ndarray) -> jnp.ndarray:
+def lstm_stack(
+    params: List[Dict], x: jnp.ndarray, *, unroll: int = 16
+) -> jnp.ndarray:
     """num_lstm_layers LSTM over (B, T, C) with residual add (EncodecLSTM).
 
     Each layer params: {wi (4H, C), wh (4H, H), bi (4H,), bh (4H,)} in torch
     gate order (i, f, g, o).
+
+    TPU shaping: the input projection ``x @ wi.T + bi`` has no sequential
+    dependence, so it is hoisted out of the scan into one (B, T, C) x
+    (C, 4H) matmul — only the (B, H) x (H, 4H) hidden matmul remains in the
+    recurrence.  The scan is unrolled (default 8) to amortize per-step
+    loop overhead; both together are what the decode-direction throughput
+    rides on (75 sequential steps per audio-second at the bottleneck's
+    frame rate, docs/perf_notes.md round-4 decode table; unroll 16 measured
+    best at B=64, ~1.7x over unroll 1).
     """
     residual = x
     h = x
@@ -152,10 +163,13 @@ def lstm_stack(params: List[Dict], x: jnp.ndarray) -> jnp.ndarray:
         wi, wh, bi, bh = layer["wi"], layer["wh"], layer["bi"], layer["bh"]
         hidden = wh.shape[1]
         b = h.shape[0]
+        # (B, T, 4H) precomputed gate inputs, scanned over T
+        xin = jnp.swapaxes(h @ wi.T + bi, 0, 1)
+        whT = wh.T
 
-        def step(carry, xt):
+        def step(carry, xt, whT=whT, bh=bh):
             hprev, cprev = carry
-            gates = xt @ wi.T + bi + hprev @ wh.T + bh
+            gates = xt + hprev @ whT + bh
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             c = jax.nn.sigmoid(f) * cprev + jax.nn.sigmoid(i) * jnp.tanh(g)
             hnew = jax.nn.sigmoid(o) * jnp.tanh(c)
@@ -165,7 +179,7 @@ def lstm_stack(params: List[Dict], x: jnp.ndarray) -> jnp.ndarray:
             jnp.zeros((b, hidden), h.dtype),
             jnp.zeros((b, hidden), h.dtype),
         )
-        _, out = jax.lax.scan(step, init, jnp.swapaxes(h, 0, 1))
+        _, out = jax.lax.scan(step, init, xin, unroll=unroll)
         h = jnp.swapaxes(out, 0, 1)
     return h + residual
 
@@ -261,12 +275,16 @@ def rvq_encode(
 
 
 def rvq_decode(codebooks: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
-    """codes (B, T, Q) -> latents (B, T, D): sum of codebook embeddings."""
+    """codes (B, T, Q) -> latents (B, T, D): sum of codebook embeddings.
+
+    One flattened (Q*V, D) gather + sum instead of Q separate table reads
+    (the same trick as the model's multi-codebook ``_rest_gather``).
+    """
     q = codes.shape[-1]
-    out = 0.0
-    for i in range(q):
-        out = out + jnp.take(codebooks[i], codes[..., i], axis=0)
-    return out
+    v, d = codebooks.shape[1], codebooks.shape[2]
+    flat = codebooks[:q].reshape(q * v, d)
+    idx = codes + (jnp.arange(q, dtype=codes.dtype) * v)[None, None, :]
+    return jnp.sum(jnp.take(flat, idx, axis=0), axis=2)
 
 
 # ------------------------------------------------------------------ public api
@@ -280,6 +298,7 @@ class EncodecJax:
         self.cfg = cfg or EncodecConfig()
         self._encode = jax.jit(self._encode_impl, static_argnums=(2,))
         self._decode = jax.jit(self._decode_impl)
+        self._decode_i16 = jax.jit(self._decode_i16_impl)
 
     @property
     def sample_rate(self) -> int:
@@ -297,6 +316,12 @@ class EncodecJax:
         latents = rvq_decode(params["quantizer"], codes)
         return decode_latents(params, latents, self.cfg)
 
+    def _decode_i16_impl(self, params, codes):
+        wav = self._decode_impl(params, codes)
+        return jnp.round(
+            jnp.clip(wav, -1.0, 1.0) * 32767.0
+        ).astype(jnp.int16)
+
     def encode(self, wav: jnp.ndarray, bandwidth: float = 6.0) -> jnp.ndarray:
         """wav (B, channels, T) float32 -> codes (B, T', num_q) int32.
 
@@ -307,7 +332,12 @@ class EncodecJax:
         wav = jnp.swapaxes(jnp.asarray(wav, jnp.float32), 1, 2)  # -> (B,T,C)
         return self._encode(self.params, wav, num_q)
 
-    def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
-        """codes (B, T', Q) int32 -> wav (B, channels, T) float32."""
-        out = self._decode(self.params, jnp.asarray(codes))
+    def decode(self, codes: jnp.ndarray, *, out_int16: bool = False) -> jnp.ndarray:
+        """codes (B, T', Q) int32 -> wav (B, channels, T).
+
+        ``out_int16=True`` scales/clips/rounds to int16 ON DEVICE — the wav
+        container format — halving the device->host transfer, which matters
+        for batched wav-out serving (serve.py, bench.py end_to_end)."""
+        fn = self._decode_i16 if out_int16 else self._decode
+        out = fn(self.params, jnp.asarray(codes))
         return jnp.swapaxes(out, 1, 2)

@@ -34,12 +34,15 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
-    """samples: (T,) or (C, T) float in [-1, 1] -> 16-bit PCM wav."""
-    s = np.asarray(samples, dtype=np.float32)
+    """samples: (T,) or (C, T) float in [-1, 1] — or int16 already converted
+    on device (EncodecJax.decode(out_int16=True)) — -> 16-bit PCM wav."""
+    s = np.asarray(samples)
+    if s.dtype != np.int16:
+        s = np.clip(s.astype(np.float32), -1.0, 1.0)
+        s = (s * 32767.0).astype(np.int16)
     if s.ndim == 2:
         s = s.T  # (T, C)
-    s = np.clip(s, -1.0, 1.0)
-    wavfile.write(path, sample_rate, (s * 32767.0).astype(np.int16))
+    wavfile.write(path, sample_rate, s)
 
 
 def resample(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:

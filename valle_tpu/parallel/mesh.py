@@ -82,8 +82,12 @@ def quantized_shardings(variables, mesh: Mesh) -> dict:
     output per shard, so their scales replicate.
     """
     column_sharded = ("in_proj", "linear1", "kv_proj", "q_proj")
+    # any other collection (batch_stats, cache, ...) replicates — these must
+    # be SHARDINGS, not the original arrays, for tree_map(device_put, ...)
     out = {
-        k: v for k, v in variables.items() if k not in ("params", "qscale")
+        k: jax.tree.map(lambda _leaf: replicated(mesh), v)
+        for k, v in variables.items()
+        if k not in ("params", "qscale")
     }
     out["params"] = param_shardings(variables["params"], mesh)
     if "qscale" in variables:

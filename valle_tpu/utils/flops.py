@@ -10,6 +10,13 @@ from __future__ import annotations
 import jax
 
 # Dense bf16 MXU peak FLOPs/s per chip by device kind.
+#
+# MFU scale note: all MFU figures in this repo divide by this bf16 peak,
+# including fp32-recipe rows.  That is the honest scale on TPU: at JAX's
+# default matmul precision, f32 dot_generals execute as bf16 MXU passes with
+# f32 accumulation, so the achievable matmul peak of an "fp32" training step
+# is the bf16 peak — fp32 and bf16 rows in the perf tables are directly
+# comparable.  bench.py tags every MFU row with "mfu_vs": "bf16-peak".
 PEAK_BF16 = {
     "TPU v4": 275e12,
     "TPU v5 lite": 197e12,  # v5e
