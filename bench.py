@@ -328,6 +328,11 @@ def main():
     value_bf16 = bench_generate()
     train = bench_train()
     train_nar = bench_train_nar()
+    # recipe decision (round 4, `nar_dtype_parity` overfit overlay): bf16
+    # NAR trains with a comparable loss trajectory; fp32 stays the benched
+    # recipe-parity default (ref README.md:106-112 prescribes fp32), bf16 is
+    # the recommended TPU recipe at ~17% less step time
+    train_nar_bf16 = bench_train_nar(dtype="bfloat16")
     print(json.dumps({
         "metric": "audio_seconds_per_s_per_chip",
         "value": round(value, 3),
@@ -343,6 +348,7 @@ def main():
         "value_bf16": round(value_bf16, 3),
         "train": train,
         "train_nar": train_nar,
+        "train_nar_bf16": train_nar_bf16,
     }))
 
 
@@ -768,6 +774,172 @@ if __name__ == "__main__":
         _ = float(m["loss"])
         print(f"train full step: {(time.perf_counter() - t0) / 5 * 1000:.1f}"
               " ms", file=sys.stderr, flush=True)
+    elif mode == "fwd_attrib":
+        # Attribute the AR forward (round-3: 133 ms, ~42% analytic MFU, gap
+        # "spread"): full loss vs no-CE vs no-dropout vs XLA attention, plus
+        # the isolated attention fwd at train shapes.  One sync per case.
+        from valle_tpu.models import ModelConfig, VALLE
+
+        accum, b, s, t = 4, 8, 128, 752
+        rng = jax.random.PRNGKey(0)
+        batch = {
+            "text_tokens": jax.random.randint(rng, (accum, b, s), 0, 512),
+            "text_tokens_lens": jnp.full((accum, b), s, jnp.int32),
+            "audio_features": jax.random.randint(rng, (accum, b, t, 8), 0,
+                                                 1024),
+            "audio_features_lens": jnp.full((accum, b), t, jnp.int32),
+        }
+        mk_key = lambda i: jax.random.key(i, impl="rbg")
+
+        def build(attn, dropout=0.1):
+            cfg = ModelConfig(dtype="bfloat16", attn_impl=attn, remat="none",
+                              dropout=dropout)
+            model = VALLE(cfg)
+            variables = jax.jit(lambda k: model.init(
+                {"params": k, "stage": k},
+                batch["text_tokens"][0], batch["text_tokens_lens"][0],
+                batch["audio_features"][0], batch["audio_features_lens"][0],
+                train_stage=1, deterministic=True))(rng)
+            return model, variables
+
+        def fwd_all(model, variables, det):
+            def f(v, bb, key):
+                keys = jax.random.split(key, accum)
+
+                def mic(c, inp):
+                    out = model.apply(
+                        {"params": v["params"]},
+                        inp[0]["text_tokens"], inp[0]["text_tokens_lens"],
+                        inp[0]["audio_features"],
+                        inp[0]["audio_features_lens"],
+                        train_stage=1, deterministic=det,
+                        rngs=(None if det
+                              else {"dropout": inp[1], "stage": inp[1]}),
+                    )
+                    return c + out["loss"], None
+
+                return jax.lax.scan(mic, jnp.zeros(()), (bb, keys))[0]
+
+            return jax.jit(f)
+
+        def run_case(name, fn, *args, iters=5):
+            _ = float(fn(*args))
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(iters)]
+            _ = float(outs[-1])
+            dt = (time.perf_counter() - t0) / iters
+            print(f"fwd {name}: {dt * 1000:.1f} ms", file=sys.stderr,
+                  flush=True)
+
+        model_f, var_f = build("fused")
+        run_case("fused full loss", fwd_all(model_f, var_f, False),
+                 var_f, batch, mk_key(1))
+        run_case("fused no-dropout", fwd_all(model_f, var_f, True),
+                 var_f, batch, mk_key(1))
+        model_x, var_x = build("xla")
+        run_case("xla full loss", fwd_all(model_x, var_x, False),
+                 var_x, batch, mk_key(1))
+        run_case("xla no-dropout", fwd_all(model_x, var_x, True),
+                 var_x, batch, mk_key(1))
+
+        # no-CE variant: visualize_forward runs embeddings + full AR stack
+        # (deterministic, no predict head / loss)
+        stack_fn = jax.jit(lambda v, bb: jax.lax.scan(
+            lambda c, inp: (c + model_f.apply(
+                {"params": v["params"]}, inp["text_tokens"],
+                inp["text_tokens_lens"], inp["audio_features"],
+                inp["audio_features_lens"],
+                method="visualize_forward")[1].astype(jnp.float32).sum(),
+                None),
+            jnp.zeros(()), bb)[0])
+        run_case("fused stack-only (no CE head)", stack_fn, var_f, batch)
+
+        # isolated attention fwd at train shapes, 12 chained layers
+        from valle_tpu.ops.fused_attention import fused_prefix_attention
+
+        tt = s + t + 1
+        q0 = jax.random.normal(rng, (b, tt, 16, 64), jnp.bfloat16)
+        kv_bias = jnp.zeros((b, tt), jnp.float32)
+
+        def fused_layer(x, _):
+            return fused_prefix_attention(x, x, x, kv_bias, prefix_s=s), None
+
+        def xla_layer(x, _):
+            scale = 1.0 / np.sqrt(64)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", x * scale, x)
+            qpos = jnp.arange(tt)[:, None]
+            kpos = jnp.arange(tt)[None, :]
+            m = (kpos < s) | (kpos <= qpos)
+            logits = jnp.where(m[None, None], logits.astype(jnp.float32),
+                               -1e9)
+            p = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum("bhqk,bkhd->bqhd", p.astype(x.dtype), x), None
+
+        for name, layer in (("fused", fused_layer), ("xla", xla_layer)):
+            fn = jax.jit(lambda x, f=layer: jnp.sum(
+                jax.lax.scan(f, x, None, length=12)[0].astype(jnp.float32)))
+            run_case(f"attn-only {name} (12 layers, 4x dispatch)",
+                     lambda x, f=fn: f(x) + f(x) + f(x) + f(x), q0)
+    elif mode == "kernel_block_sweep":
+        # q-block-size sweep of the fused kernel at AR train shapes
+        # (B=8, T=881->896, H=16, Dh=64, prefix_s=128, dropout 0.1).
+        # 896 grid cells at bq=128 cost ~9 us each while per-cell compute is
+        # ~0.15 us at peak — per-cell overhead dominates; bigger blocks
+        # amortize it.
+        from valle_tpu.ops.fused_attention import fused_prefix_attention
+
+        b, s, t, h, dh = 8, 128, 753, 16, 64
+        tq = s + t  # 881
+        rng = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(rng, (b, tq, h, dh), jnp.bfloat16)
+        kv_bias = jnp.zeros((b, tq), jnp.float32)
+        key = jax.random.key(7, impl="rbg")
+
+        def run_case(name, fn, *args, iters=5):
+            try:
+                _ = float(fn(*args))
+                t0 = time.perf_counter()
+                outs = [fn(*args) for _ in range(iters)]
+                _ = float(outs[-1])
+                dt = (time.perf_counter() - t0) / iters
+                print(f"{name}: {dt * 1000:.2f} ms", file=sys.stderr,
+                      flush=True)
+            except Exception as e:
+                print(f"{name}: {str(e)[:140]}", file=sys.stderr, flush=True)
+
+        def make_fwd(bq, dropout):
+            def layer(x, _):
+                return fused_prefix_attention(
+                    x, x, x, kv_bias, prefix_s=s,
+                    dropout_rate=dropout, dropout_rng=key,
+                    block_q_fwd=bq, block_q_bwd=bq), None
+
+            return jax.jit(lambda x: jnp.sum(jax.lax.scan(
+                layer, x, None, length=12)[0].astype(jnp.float32)))
+
+        def make_grad(bqf, bqb, dropout):
+            def layer(x, _):
+                return fused_prefix_attention(
+                    x, x, x, kv_bias, prefix_s=s,
+                    dropout_rate=dropout, dropout_rng=key,
+                    block_q_fwd=bqf, block_q_bwd=bqb), None
+
+            def loss(x):
+                return jnp.sum(jax.lax.scan(
+                    layer, x, None, length=12)[0].astype(jnp.float32))
+
+            return jax.jit(lambda x: jnp.sum(jnp.abs(jax.grad(loss)(x))
+                                             .astype(jnp.float32)))
+
+        for dropout in (0.0, 0.1):
+            for bq in (128, 448, 896):
+                run_case(f"fwd bq={bq} drop={dropout}",
+                         make_fwd(bq, dropout), x0)
+        for dropout in (0.0, 0.1):
+            for bqf in (128, 448, 896):
+                for bqb in (128, 448):
+                    run_case(f"grad bqf={bqf} bqb={bqb} drop={dropout}",
+                             make_grad(bqf, bqb, dropout), x0)
     elif mode == "train_nar":
         # recipe-parity fp32 row + the TPU-native bf16 recommendation
         for dt in ("float32", "bfloat16"):
@@ -777,6 +949,196 @@ if __name__ == "__main__":
                 except Exception as e:
                     r = {"error": str(e)[:200]}
                 print(json.dumps({"dtype": dt, "attn": attn, **r}))
+    elif mode == "nar_dtype_parity":
+        # Recipe decision evidence (VERDICT r3 #4): overfit a fixed tiny
+        # corpus with the stage-2 NAR recipe in fp32 vs bf16 (params stay
+        # f32; dtype is the compute/activation precision) and overlay the
+        # loss curves.  Flagship dims, 2 fixed batches alternated, 120 steps.
+        from valle_tpu.models import ModelConfig, VALLE
+        from valle_tpu.optim import eden_lr, scaled_adam
+        from valle_tpu.train.step import init_train_state, make_train_step
+
+        accum, b, s, t, p = 4, 4, 128, 752, 225
+        rng = jax.random.PRNGKey(0)
+        batches = []
+        for i in range(2):
+            r = jax.random.PRNGKey(100 + i)
+            batches.append({
+                "text_tokens": jax.random.randint(r, (accum, b, s), 0, 512),
+                "text_tokens_lens": jnp.full((accum, b), s, jnp.int32),
+                "audio_features": jax.random.randint(
+                    r, (accum, b, t, 8), 0, 1024),
+                "audio_features_lens": jnp.full((accum, b), t, jnp.int32),
+                "prompt_codes": jax.random.randint(
+                    r, (accum, b, p, 8), 0, 1024),
+            })
+        curves = {}
+        for dtype in ("float32", "bfloat16"):
+            cfg = ModelConfig(dtype=dtype, attn_impl="fused", remat="none",
+                              prefix_mode=4)
+            model = VALLE(cfg)
+            tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0)
+            state = init_train_state(
+                model, tx, rng,
+                jax.tree.map(lambda v: v[0], batches[0]), train_stage=2)
+            step = make_train_step(
+                model, tx, lambda st, e: eden_lr(0.05, st, e), train_stage=2)
+            epoch = jnp.zeros((), jnp.int32)
+            losses = []
+            for i in range(120):
+                # fixed dropout/stage keys per step index: both dtypes see
+                # the same randomness
+                key = jax.random.key(1000 + i, impl="rbg")
+                state, m = step(state, dict(batches[i % 2]), key, epoch)
+                if i % 10 == 0 or i == 119:
+                    losses.append((i, float(m["loss"])))
+            curves[dtype] = losses
+            print(f"nar overfit {dtype}: " + " ".join(
+                f"{i}:{l:.4f}" for i, l in losses), file=sys.stderr,
+                flush=True)
+        f32 = dict(curves["float32"])
+        bf16 = dict(curves["bfloat16"])
+        rel = [abs(bf16[i] - f32[i]) / max(abs(f32[i]), 1e-9) for i in f32]
+        print(f"nar dtype parity: max rel loss gap {max(rel):.4f}, "
+              f"final f32 {curves['float32'][-1][1]:.4f} vs bf16 "
+              f"{curves['bfloat16'][-1][1]:.4f}", file=sys.stderr, flush=True)
+    elif mode == "gather_probe":
+        # SURVEY §7.1 kernel (c): is a custom multi-codebook gather worth
+        # it?  Formulations of _rest_gather at NAR train shapes
+        # (B*accum=16, T=977, Q-1=7, nd=1024): current flat-take+einsum vs
+        # take+weighted-sum vs one-hot matmul (MXU).  Scalar-reduced,
+        # arrays as arguments, grads included (training is the target).
+        b, t, qm1, v, nd = 16, 977, 7, 1024, 1024
+        rng = jax.random.PRNGKey(0)
+        table = jax.random.normal(rng, (qm1, v, nd), jnp.float32)
+        codes = jax.random.randint(rng, (b, t, qm1), 0, v)
+        w = (jnp.arange(qm1)[None, None, :] < 5).astype(jnp.float32)
+
+        def flat_take(tbl, cds, ww):
+            flat = tbl.reshape(qm1 * v, nd)
+            idx = cds + (jnp.arange(qm1, dtype=cds.dtype) * v)[None, None, :]
+            g = jnp.take(flat, idx, axis=0)
+            return jnp.einsum("btqd,btq->btd", g,
+                              jnp.broadcast_to(ww, g.shape[:-1]))
+
+        def take_sum(tbl, cds, ww):
+            g = jnp.take(tbl.reshape(qm1 * v, nd),
+                         cds + (jnp.arange(qm1, dtype=cds.dtype) * v)[None,
+                                                                      None, :],
+                         axis=0)
+            return jnp.sum(g * ww[..., None], axis=2)
+
+        def onehot_mm(tbl, cds, ww):
+            oh = jax.nn.one_hot(cds, v, dtype=jnp.bfloat16)  # (b,t,q,v)
+            oh = oh * ww[..., None].astype(jnp.bfloat16)
+            return jnp.einsum("btqv,qvd->btd", oh,
+                              tbl.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        for name, fn in (("flat take+einsum (current)", flat_take),
+                         ("take+sum", take_sum),
+                         ("one-hot matmul", onehot_mm)):
+            fwd = jax.jit(lambda tb, cd, ww, f=fn: jnp.sum(f(tb, cd, ww)))
+            g = jax.jit(lambda tb, cd, ww, f=fn: jnp.sum(jnp.abs(
+                jax.grad(lambda tt: jnp.sum(f(tt, cd, ww)))(tb))))
+            for tag, jf in (("fwd", fwd), ("fwd+bwd", g)):
+                _ = float(jf(table, codes, w))
+                t0 = time.perf_counter()
+                outs = [jf(table, codes, w) for _ in range(5)]
+                _ = float(outs[-1])
+                dt = (time.perf_counter() - t0) / 5
+                print(f"gather {name} {tag}: {dt * 1000:.2f} ms",
+                      file=sys.stderr, flush=True)
+    elif mode == "loader":
+        # Host loader throughput at flagship rate (no TPU needed): the
+        # 0.386 s/step AR recipe consumes ~2.6 batches/s of
+        # accum4 x (8, 752, 8) gathers + collation; prove the native C++
+        # path AND the numpy fallback hold >= 2x that margin, and that the
+        # Prefetcher hides assembly behind a simulated device step.
+        import tempfile
+        import types
+
+        from valle_tpu import macros
+        from valle_tpu.data import (
+            CodeShardWriter, Manifest, SymbolTable, TextTokenizer,
+            TtsDataLoader, get_text_token_collater,
+        )
+        from valle_tpu.data import native_loader as nl_mod
+        from valle_tpu.data.dataset import Prefetcher
+
+        rng = np.random.RandomState(0)
+        tok = TextTokenizer(backend="chars")
+        words = ["hello", "world", "speech", "codec", "neural", "audio"]
+        root = tempfile.mkdtemp(prefix="loaderbench_")
+        from pathlib import Path as _P
+
+        root = _P(root)
+        records, symbols = [], set()
+        n_utts = 640
+        with CodeShardWriter(root) as w:
+            for k in range(n_utts):
+                text = " ".join(rng.choice(words, 12))
+                utt_id = f"0_{100}_{k:06d}_000000"
+                dur = float(rng.uniform(9.9, 10.03))
+                t = int(dur * macros.AUDIO_FRAME_RATE)
+                codes = rng.randint(0, 1024, (t, 8))
+                shard, key = w.write(utt_id, codes)
+                tokens = tok([text])[0]
+                symbols.update(tokens)
+                records.append({"id": utt_id, "text": text, "tokens": tokens,
+                                "duration": dur, "shard": shard, "key": key})
+        Manifest.save(iter(records), root / "manifest_train.jsonl.gz")
+        table = SymbolTable()
+        for s_ in sorted(symbols):
+            table.add(s_)
+        table.to_file(root / "unique_text_tokens.k2symbols")
+        collater = get_text_token_collater(
+            str(root / "unique_text_tokens.k2symbols"))
+
+        def build_loader():
+            m = Manifest.load(root / "manifest_train.jsonl.gz")
+            ld = TtsDataLoader(m, collater, max_duration=80.0,
+                               accum_steps=4, num_buckets=2, shuffle=True)
+            ld.set_epoch(0)
+            return ld
+
+        step_s = 0.386  # measured flagship AR step (round 4)
+        for path in ("native", "numpy"):
+            if path == "numpy":
+                real_avail = nl_mod.available
+                nl_mod.available = lambda: False
+            try:
+                ld = build_loader()
+                using_native = ld.dataset._native is not None
+                n, frames = 0, 0
+                t0 = time.perf_counter()
+                for batch in ld:
+                    n += 1
+                    frames += int(batch["audio_features_lens"].sum())
+                dt = time.perf_counter() - t0
+                print(f"loader {path} (native={using_native}): "
+                      f"{n / dt:.1f} batches/s "
+                      f"({n / dt / (1 / step_s):.1f}x the step rate), "
+                      f"{frames / 75.0 / dt:.0f} audio-s/s", file=sys.stderr,
+                      flush=True)
+                # Prefetcher occupancy: consumer simulates the device step
+                ld.set_epoch(1)
+                t0 = time.perf_counter()
+                n = 0
+                for batch in Prefetcher(iter(ld)):
+                    time.sleep(step_s)
+                    n += 1
+                wall = time.perf_counter() - t0
+                ideal = n * step_s
+                print(f"loader {path} + Prefetcher under {step_s:.3f}s "
+                      f"steps: wall {wall:.2f}s vs device-bound {ideal:.2f}s "
+                      f"(overhead {100 * (wall / ideal - 1):.1f}%)",
+                      file=sys.stderr, flush=True)
+            finally:
+                if path == "numpy":
+                    nl_mod.available = real_avail
+        import shutil
+
+        shutil.rmtree(root)
     elif mode == "train_geom":
         # Same optimizer step (sum of grads over 32 utts), different
         # micro-batch geometry: fused attention freed the remat memory, so

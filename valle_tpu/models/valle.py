@@ -238,7 +238,10 @@ class VALLE(nn.Module):
         idx = codes_rest + (jnp.arange(qm1, dtype=codes_rest.dtype) * v)[None, None, :]
         gathered = jnp.take(flat, idx, axis=0)  # (B, T, Q-1, nd)
         w = jnp.broadcast_to(weights, gathered.shape[:-1])
-        return jnp.einsum("btqd,btq->btd", gathered, w.astype(gathered.dtype))
+        # multiply+sum over the codebook axis: measured 1.7x over the
+        # equivalent einsum at NAR train shapes, and a custom Pallas gather
+        # has no room left (bench.py gather_probe, docs/perf_notes.md)
+        return jnp.sum(gathered * w[..., None].astype(gathered.dtype), axis=2)
 
     def _ar_text(self, text: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         x = self.ar_text_embedding(text, deterministic=deterministic)

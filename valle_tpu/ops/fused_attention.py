@@ -191,10 +191,11 @@ def _specs(bq, tk, dh):
     return q_spec, kv_spec, bias_spec
 
 
-def _pallas_fwd(q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret):
+def _pallas_fwd(q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret,
+                bq=None):
     b, n_h, tq_p, dh = q.shape
     tk = k.shape[2]
-    bq = min(tq_p, 128)
+    bq = min(tq_p, bq or 128)
     n_q = tq_p // bq
     q_spec, kv_spec, bias_spec = _specs(bq, tk, dh)
     kern = functools.partial(
@@ -215,10 +216,10 @@ def _pallas_fwd(q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret):
 
 
 def _pallas_bwd(q, k, v, bias_rows, seed, out, do, prefix_s, dropout_rate,
-                interpret):
+                interpret, bq=None):
     b, n_h, tq_p, dh = q.shape
     tk = k.shape[2]
-    bq = min(tq_p, 128)
+    bq = min(tq_p, bq or 128)
     n_q = tq_p // bq
     q_spec, kv_spec, bias_spec = _specs(bq, tk, dh)
     kern = functools.partial(
@@ -326,10 +327,10 @@ def _make_partitioned(raw_fn, n_qkv_like_out, rule, seed_argnum):
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_fwd(prefix_s, dropout_rate, interpret):
+def _sharded_fwd(prefix_s, dropout_rate, interpret, bq=None):
     def raw(q, k, v, bias_rows, seed):
         return _pallas_fwd(q, k, v, bias_rows, seed, prefix_s, dropout_rate,
-                           interpret)
+                           interpret, bq=bq)
 
     return _make_partitioned(
         raw, 1,
@@ -339,11 +340,11 @@ def _sharded_fwd(prefix_s, dropout_rate, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_bwd(prefix_s, dropout_rate, interpret):
+def _sharded_bwd(prefix_s, dropout_rate, interpret, bq=None):
     def raw(q, k, v, bias_rows, seed, out, do):
         return tuple(
             _pallas_bwd(q, k, v, bias_rows, seed, out, do, prefix_s,
-                        dropout_rate, interpret)
+                        dropout_rate, interpret, bq=bq)
         )
 
     return _make_partitioned(
@@ -354,25 +355,27 @@ def _sharded_bwd(prefix_s, dropout_rate, interpret):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _fused_attention_padded(
-    q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret
+    q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret,
+    bq_fwd, bq_bwd,
 ):
-    return _sharded_fwd(prefix_s, dropout_rate, interpret)(
+    return _sharded_fwd(prefix_s, dropout_rate, interpret, bq_fwd)(
         q, k, v, bias_rows, seed
     )
 
 
-def _fused_fwd(q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret):
-    out = _sharded_fwd(prefix_s, dropout_rate, interpret)(
+def _fused_fwd(q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret,
+               bq_fwd, bq_bwd):
+    out = _sharded_fwd(prefix_s, dropout_rate, interpret, bq_fwd)(
         q, k, v, bias_rows, seed
     )
     return out, (q, k, v, bias_rows, seed, out)
 
 
-def _fused_bwd(prefix_s, dropout_rate, interpret, res, do):
+def _fused_bwd(prefix_s, dropout_rate, interpret, bq_fwd, bq_bwd, res, do):
     q, k, v, bias_rows, seed, out = res
-    dq, dk, dv = _sharded_bwd(prefix_s, dropout_rate, interpret)(
+    dq, dk, dv = _sharded_bwd(prefix_s, dropout_rate, interpret, bq_bwd)(
         q, k, v, bias_rows, seed, out, do
     )
     return (
@@ -395,6 +398,8 @@ def fused_prefix_attention(
     dropout_rate: float = 0.0,
     dropout_rng=None,
     interpret: Optional[bool] = None,
+    block_q_fwd: Optional[int] = None,
+    block_q_bwd: Optional[int] = None,
 ) -> jnp.ndarray:
     """(B,Tq,H,Dh) x (B,Tk,H,Dh) -> (B,Tq,H,Dh), differentiable.
 
@@ -407,6 +412,11 @@ def fused_prefix_attention(
       the bitstream itself intentionally differs).
     interpret: force Pallas interpret mode (defaults to True off-TPU so the
       same code path runs under the CPU test mesh).
+    block_q_fwd / block_q_bwd: q-rows per grid cell (must divide the
+      128-padded Tq).  Default: the largest divisor <= 512 (fwd) / 256 (bwd)
+      — big blocks amortize per-cell grid overhead, which dominates at
+      dh=64 (round-4 sweep, docs/perf_notes.md); the bwd holds ~6 live
+      (bq, Tk) f32 temporaries so its cap is lower (VMEM ~16 MB).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -420,9 +430,31 @@ def fused_prefix_attention(
         )
     b, tq, h, dh = q.shape
     tk = k.shape[1]
-    bq = min(128, _round_up(tq, 128))
-    tq_p = _round_up(tq, bq)
+    tq_p = _round_up(tq, 128)
     tk_p = _round_up(tk, 128)
+
+    def auto_bq(max_elems):
+        # largest divisor of the padded Tq whose (bq, Tk) f32 score block
+        # stays within the VMEM budget (bwd holds ~6 live temporaries, so
+        # its element cap is about half the fwd's)
+        cap = max(128, max_elems // tk_p)
+        best = 128
+        for cand in range(128, min(cap, tq_p) + 1, 8):
+            if tq_p % cand == 0:
+                best = cand
+        return best
+
+    bq_fwd = block_q_fwd or auto_bq(830_000)
+    bq_bwd = block_q_bwd or auto_bq(460_000)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # keep-bits are seeded per (batch, head, q-block) TILE: the backward
+        # regenerates them, so fwd and bwd must tile q identically or the
+        # masks diverge and the gradients are silently wrong
+        assert block_q_fwd is None or block_q_fwd == (block_q_bwd or bq_bwd), (
+            "dropout requires block_q_fwd == block_q_bwd (PRNG tile seeds)"
+        )
+        bq_fwd = bq_bwd = min(bq_fwd, bq_bwd)
+    assert tq_p % bq_fwd == 0 and tq_p % bq_bwd == 0, (tq_p, bq_fwd, bq_bwd)
 
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
@@ -445,7 +477,8 @@ def fused_prefix_attention(
         dropout_rate = 0.0
 
     out = _fused_attention_padded(
-        qt, kt, vt, kv_bias, seed, prefix_s, float(dropout_rate), interpret
+        qt, kt, vt, kv_bias, seed, prefix_s, float(dropout_rate), interpret,
+        bq_fwd, bq_bwd,
     )
     out = jnp.transpose(out, (0, 2, 1, 3))
     if tq_p != tq:

@@ -56,6 +56,48 @@ def _right_align(tokens: jnp.ndarray, lens: jnp.ndarray, cap: int, bos_id=None):
     return vals, positions, valid
 
 
+def _prefill_kv(model, variables, x, x_lens, prompt_codes, prompt_lens):
+    """AR prefill over [text ; right-aligned prompt].
+
+    Returns (last_logits, kv (L,B,Tpre,H,Dh) pair, memory-or-None,
+    key_pad_pre (B,Tpre), mem_bias, tpre, ppad).  Shared by ``generate`` and
+    the continuous-batching scheduler's slot re-prefill."""
+    cfg = model.cfg
+    b, s = x.shape
+    p = prompt_codes.shape[1]
+    bos = int(cfg.prepend_bos)
+    is_vallf = model.variant == "vallf"
+    x_mask = mask_ops.make_pad_mask(x_lens, s)
+    mem_bias = mask_ops.mask_to_bias(x_mask[:, None, None, :], jnp.float32)
+    prompt0 = prompt_codes[..., 0].astype(jnp.int32)
+    ar_tokens, ar_positions, ar_valid = _right_align(
+        prompt0, prompt_lens, p, bos_id=cfg.bos_id if bos else None
+    )
+    ppad = ar_tokens.shape[1]  # p + bos
+    if is_vallf:
+        # VALL-F caches only the audio side; text is cross-attn memory.
+        tpre = ppad
+        struct = mask_ops.causal_mask(ppad)
+        key_pad_pre = jnp.logical_not(ar_valid)
+    else:
+        tpre = s + ppad
+        struct = mask_ops.prefix_lm_attn_mask(s, ppad)
+        key_pad_pre = jnp.concatenate([x_mask, jnp.logical_not(ar_valid)], axis=1)
+    pre_bias = mask_ops.mask_to_bias(
+        mask_ops.merge_padding(struct, key_pad_pre), jnp.float32
+    )
+    last_logits, kv, memory = model.apply(
+        variables,
+        x,
+        ar_tokens,
+        ar_positions,
+        pre_bias,
+        mem_bias,
+        method="ar_prefill",
+    )
+    return last_logits, kv, memory, key_pad_pre, mem_bias, tpre, ppad
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -113,36 +155,9 @@ def generate(
     if nar_text is None:
         nar_text, nar_text_lens = x, x_lens
 
-    x_mask = mask_ops.make_pad_mask(x_lens, s)
     is_vallf = model.variant == "vallf"
-    mem_bias = mask_ops.mask_to_bias(x_mask[:, None, None, :], jnp.float32)
-
-    # ---------------- AR prefill over [text ; right-aligned prompt] ---------
-    prompt0 = prompt_codes[..., 0].astype(jnp.int32)
-    ar_tokens, ar_positions, ar_valid = _right_align(
-        prompt0, prompt_lens, p, bos_id=cfg.bos_id if bos else None
-    )
-    ppad = ar_tokens.shape[1]  # p + bos
-    if is_vallf:
-        # VALL-F caches only the audio side; text is cross-attn memory.
-        tpre = ppad
-        struct = mask_ops.causal_mask(ppad)
-        key_pad_pre = jnp.logical_not(ar_valid)
-    else:
-        tpre = s + ppad
-        struct = mask_ops.prefix_lm_attn_mask(s, ppad)
-        key_pad_pre = jnp.concatenate([x_mask, jnp.logical_not(ar_valid)], axis=1)
-    pre_bias = mask_ops.mask_to_bias(
-        mask_ops.merge_padding(struct, key_pad_pre), jnp.float32
-    )
-    last_logits, kv, memory = model.apply(
-        variables,
-        x,
-        ar_tokens,
-        ar_positions,
-        pre_bias,
-        mem_bias,
-        method="ar_prefill",
+    last_logits, kv, memory, key_pad_pre, mem_bias, tpre, ppad = _prefill_kv(
+        model, variables, x, x_lens, prompt_codes, prompt_lens
     )
     # kv: tuple of (k, v), each (L, B, Tpre, H, Dh)
     k_pre, v_pre = kv
@@ -279,7 +294,28 @@ def generate(
     if q == 1:
         return {"codes": tokens[..., None], "lengths": gen_len}
 
-    # ------------------------------- NAR refinement -------------------------
+    codes = _nar_refine(
+        model, variables, nar_text, nar_text_lens, prompt_codes, prompt_lens,
+        tokens, gen_len,
+    )
+    return {"codes": codes, "lengths": gen_len}
+
+
+def _nar_refine(
+    model, variables, nar_text, nar_text_lens, prompt_codes, prompt_lens,
+    tokens, gen_len,
+):
+    """NAR refinement of AR codebook-1 ``tokens`` (B, T_gen) -> (B, T_gen, Q)
+    codes (ref valle.py:1085-1134).  Shared by ``generate`` (traced inline)
+    and the continuous-batching scheduler (via the jitted ``nar_refine``)."""
+    cfg = model.cfg
+    q = cfg.num_quantizers
+    p = prompt_codes.shape[1]
+    max_new_tokens = tokens.shape[1]
+    is_vallf = model.variant == "vallf"
+    prompt0 = prompt_codes[..., 0].astype(jnp.int32)
+    gen_valid = jnp.arange(max_new_tokens)[None, :] < gen_len[:, None]
+
     sn = nar_text.shape[1]
     nar_x_mask = mask_ops.make_pad_mask(nar_text_lens, sn)
     x_emb = model.apply(variables, nar_text, method="nar_text_encode")
@@ -335,10 +371,10 @@ def generate(
             gen_emb = model.apply(variables, i, samples, method="nar_embed_rest")
             y_emb = y_emb.at[:, p:].add(gen_emb * gen_valid[..., None])
 
-    return {
-        "codes": jnp.stack(codes, axis=-1),
-        "lengths": gen_len,
-    }
+    return jnp.stack(codes, axis=-1)
+
+
+nar_refine = jax.jit(_nar_refine, static_argnames=("model",))
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
