@@ -132,10 +132,21 @@ class MultiheadAttention(nn.Module):
             li = jnp.asarray(li, jnp.int32)
             k8, k_sc = quantize_kv(k)
             v8, v_sc = quantize_kv(v)
-            kc = jax.lax.dynamic_update_slice(kc, k8[None], (li, 0, idx, 0, 0))
-            vc = jax.lax.dynamic_update_slice(vc, v8[None], (li, 0, idx, 0, 0))
-            ks = jax.lax.dynamic_update_slice(ks, k_sc[None], (li, 0, idx, 0))
-            vs = jax.lax.dynamic_update_slice(vs, v_sc[None], (li, 0, idx, 0))
+            if idx.ndim == 1:
+                # per-slot decode columns (continuous batching): each slot
+                # writes at its OWN column, so a refilled slot's cache region
+                # starts at the prefix instead of the global step — the
+                # decode read stays bounded by the slot's own length
+                bi = jnp.arange(b)
+                kc = kc.at[li, bi, idx].set(k8[:, 0])
+                vc = vc.at[li, bi, idx].set(v8[:, 0])
+                ks = ks.at[li, bi, idx].set(k_sc[:, 0])
+                vs = vs.at[li, bi, idx].set(v_sc[:, 0])
+            else:
+                kc = jax.lax.dynamic_update_slice(kc, k8[None], (li, 0, idx, 0, 0))
+                vc = jax.lax.dynamic_update_slice(vc, v8[None], (li, 0, idx, 0, 0))
+                ks = jax.lax.dynamic_update_slice(ks, k_sc[None], (li, 0, idx, 0))
+                vs = jax.lax.dynamic_update_slice(vs, v_sc[None], (li, 0, idx, 0))
             new_cache = (kc, vc, ks, vs)
             take = lambda c: jax.lax.dynamic_index_in_dim(c, li, 0, keepdims=False)
             out = _decode_attention_quantized(
@@ -161,12 +172,17 @@ class MultiheadAttention(nn.Module):
             kc, vc, li = kv_cache
             idx = jnp.asarray(0 if cache_index is None else cache_index, jnp.int32)
             li = jnp.asarray(li, jnp.int32)
-            kc = jax.lax.dynamic_update_slice(
-                kc, k.astype(kc.dtype)[None], (li, 0, idx, 0, 0)
-            )
-            vc = jax.lax.dynamic_update_slice(
-                vc, v.astype(vc.dtype)[None], (li, 0, idx, 0, 0)
-            )
+            if idx.ndim == 1:  # per-slot decode columns (see int8 branch)
+                bi = jnp.arange(b)
+                kc = kc.at[li, bi, idx].set(k.astype(kc.dtype)[:, 0])
+                vc = vc.at[li, bi, idx].set(v.astype(vc.dtype)[:, 0])
+            else:
+                kc = jax.lax.dynamic_update_slice(
+                    kc, k.astype(kc.dtype)[None], (li, 0, idx, 0, 0)
+                )
+                vc = jax.lax.dynamic_update_slice(
+                    vc, v.astype(vc.dtype)[None], (li, 0, idx, 0, 0)
+                )
             new_cache = (kc, vc)
             k_att = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
             v_att = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)

@@ -12,13 +12,17 @@ KV is recomputed for the new request and scattered into the slot's cache
 rows, and generation resumes with a per-slot start offset.
 
 Scheme (all shapes static; compiled programs: one prefill at the admission
-width, one segment body per cache size, one NAR refine per drain bucket):
+width, ONE segment body — the cache capacity is fixed — and one NAR refine
+per drain bucket):
 
-  - per-slot ``start_t``: slot b's request generates tokens at global steps
-    [start_t[b], start_t[b] + len); its audio positions are
-    prompt_len + bos + (t - start_t), and cache slots
-    [tpre, tpre + start_t) — the previous occupant's generated KV — are
-    masked out of its attention;
+  - **per-slot cache columns**: slot b writes its generated KV at
+    [tpre + own_t], own_t = t - start_t, via a (B,)-indexed scatter in the
+    attention cache update — so a refilled slot's region restarts at the
+    prefix and the cache capacity (= the per-step KV read) is bounded by
+    the LONGEST SINGLE REQUEST, not the global step count.  (A first
+    version kept global columns; it lost 32% to the bucket scheme because
+    decode is KV-read-bound and every slot paid the ever-growing global
+    context — docs/perf_notes.md.)
   - admission re-prefills into the SAME right-aligned [text ; prompt]
     region every sequence uses (quantized admission width, out-of-range
     slot indices dropped), so one compiled prefill serves any refill;
@@ -124,8 +128,9 @@ def _segment(model, variables, state, seg_end, *, tpre, top_k, top_p,
         (cache, logits, tokens, t, finished, gen_len, start_t, pre_valid,
          x_lens, prompt_lens, stop_lens, key) = state
         b = logits.shape[0]
-        c_seg = cache[0].shape[2]
-        slot_idx = jnp.arange(c_seg)[None, :]
+        c_cap = cache[0].shape[2]
+        cap_own = c_cap - tpre - 1
+        slot_idx = jnp.arange(c_cap)[None, :]
         key, sub = jax.random.split(key)
         if forbid_eos:
             logits = logits.at[:, eos].set(-1e9)
@@ -146,23 +151,27 @@ def _segment(model, variables, state, seg_end, *, tpre, top_k, top_p,
         tok = jnp.where(finished, eos, samples).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, t))
 
-        positions = (prompt_lens + bos + own_t)[:, None]
+        # per-slot cache columns: slot b's generated KV lives at
+        # [tpre, tpre + own_t] regardless of WHEN it was admitted, so the
+        # cache capacity (and the KV read) is bounded by the slot's own
+        # length, not the global step (finished slots clamp at the last
+        # column; their output is discarded)
+        own_c = jnp.minimum(own_t, cap_own)
+        positions = (prompt_lens + bos + own_c)[:, None]
         key_valid = jnp.concatenate(
-            [pre_valid, jnp.zeros((b, c_seg - tpre), bool)], axis=1
+            [pre_valid, jnp.zeros((b, c_cap - tpre), bool)], axis=1
         )
-        # the slot's own generated region only: [tpre + start_t, tpre + t]
         step_valid = jnp.logical_or(
-            key_valid,
-            jnp.logical_and(
-                slot_idx >= tpre + start_t[:, None],
-                slot_idx <= tpre + t,
+            key_valid, jnp.logical_and(
+                slot_idx >= tpre, slot_idx <= tpre + own_c[:, None]
             ),
         )
         bias = mask_ops.mask_to_bias(
             jnp.logical_not(step_valid)[:, None, None, :], jnp.float32
         )
         logits2, new_cache = model.apply(
-            variables, tok[:, None], positions, cache, tpre + t, bias,
+            variables, tok[:, None], positions, cache,
+            (tpre + own_c).astype(jnp.int32), bias,
             None, None, method="ar_decode_step",
         )
         return (
@@ -211,9 +220,13 @@ def serve_continuous(
         take("prompts", first), take("prompt_lens", first),
     )
     tpre = pre_valid.shape[1]
-    c0 = tpre + chunk
+    # fixed capacity: every slot's generated region is [tpre, tpre+own_len]
+    # (per-slot write columns), so the cache need only hold the LONGEST
+    # single request — not the global step count
+    max_stop = int(np.max(requests["stop_lens"]))
+    c_cap = tpre + max_stop + 1
     cache = tuple(
-        jnp.zeros((p.shape[0], b, c0) + p.shape[3:], p.dtype)
+        jnp.zeros((p.shape[0], b, c_cap) + p.shape[3:], p.dtype)
         .at[:, :, :tpre].set(p)
         for p in parts
     )
@@ -237,7 +250,6 @@ def serve_continuous(
     harvested: Dict[int, Dict] = {}
     seg_kwargs = dict(tpre=tpre, top_k=top_k, top_p=top_p,
                       temperature=temperature, forbid_eos=forbid_eos)
-    max_stop = int(np.max(requests["stop_lens"]))
 
     seg_end = chunk
     while True:
@@ -289,15 +301,7 @@ def serve_continuous(
                 f"cap_steps={cap_steps} exhausted with "
                 f"{len(slot_req)} slots live"
             )
-        grow = min(chunk, cap_steps - seg_end)
-        state = (
-            tuple(
-                jnp.pad(c, ((0, 0), (0, 0), (0, grow))
-                        + ((0, 0),) * (c.ndim - 3))
-                for c in state[0]
-            ),
-        ) + state[1:]
-        seg_end += grow
+        seg_end += min(chunk, cap_steps - seg_end)
 
     # ---------------- NAR refinement in full drain batches ------------------
     results: List[Optional[Dict]] = [None] * r_total
