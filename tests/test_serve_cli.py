@@ -9,6 +9,7 @@ import json
 import sys
 
 import numpy as np
+import pytest
 
 from tests.test_infer_cli import (
     _FakeCodec,
@@ -145,3 +146,65 @@ def test_serve_quantized_w8a8(tmp_path, monkeypatch):
     serve.main()
     codes = np.load(out_dir / "a_codes.npy")
     assert codes.ndim == 2 and codes.shape[1] == Q
+
+
+def test_quantize_batch():
+    from valle_tpu.bin.serve import _quantize_batch
+
+    assert _quantize_batch(1, 256) == 8
+    assert _quantize_batch(8, 256) == 8
+    assert _quantize_batch(9, 256) == 16
+    assert _quantize_batch(100, 256) == 128
+    assert _quantize_batch(200, 256) == 256
+    assert _quantize_batch(256, 256) == 256
+    assert _quantize_batch(300, 256) == 256  # capped at --batch-size
+    assert _quantize_batch(20, 16) == 16
+
+
+def test_read_requests_validation(tmp_path):
+    from valle_tpu.bin.serve import read_requests
+
+    good = tmp_path / "good.tsv"
+    good.write_text("# comment\nr1\thello\n\nr2\tworld\tp.wav\tptext\n")
+    rows = read_requests(str(good))
+    assert [r["id"] for r in rows] == ["r1", "r2"]
+    assert rows[1]["wav"] == "p.wav" and rows[1]["ptext"] == "ptext"
+
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("r1\thello\njust-one-field\n")
+    with pytest.raises(ValueError, match="bad.tsv:2"):
+        read_requests(str(bad))
+
+
+def test_encode_prompts_batched_groups(monkeypatch):
+    """Prompt encodes are grouped by truncated length and batch-encoded;
+    codes land per-request and match what a B=1 encode would give (the
+    fake codec is deterministic per batch row count only in shape, so the
+    assertion is on shapes + call batching)."""
+    from valle_tpu.bin import serve
+
+    calls = []
+
+    class Codec(_FakeCodec):
+        def encode(self, wav):
+            calls.append(wav.shape)
+            return super().encode(wav)
+
+    reqs = [
+        {"wav": "a.wav"}, {"wav": "b.wav"}, {"wav": ""}, {"wav": "c.wav"},
+        {"wav": "short.wav"},
+    ]
+    lengths = {"a.wav": 24000 * 4, "b.wav": 24000 * 4, "c.wav": 24000 * 5,
+               "short.wav": 12000}
+    monkeypatch.setattr(
+        serve, "read_wav",
+        lambda p: (np.zeros((1, lengths[p]), np.float32), 24000),
+    )
+    monkeypatch.setattr(serve, "convert_audio", lambda w, sr, tsr, ch: w)
+    serve.encode_prompts(reqs, Codec(), pcap=225, encode_batch=64)
+    # >=3 s prompts truncate to 225*320 samples -> ONE batched call of 3;
+    # the short one is its own length group
+    assert sorted(calls) == [(1, 1, 12000), (3, 1, 225 * 320)]
+    assert reqs[0]["prompt"].shape == (225, Q)
+    assert "prompt" not in reqs[2]
+    assert reqs[4]["prompt"].shape[0] <= 225

@@ -128,7 +128,9 @@ def test_transformer_trains_end_to_end(fbank_corpus, tmp_path):
         "--num-buckets", "2",
         "--optimizer-name", "ScaledAdam",
         "--base-lr", "0.02",
-        "--oom-check", "false",
+        # exercises the compile-only OOM pre-scan (AOT lower+compile per
+        # batch shape, no state copy) on the way in
+        "--oom-check", "true",
         "--tensorboard", "false",
         "--valid-interval", "2",
         "--save-every-n", "0",

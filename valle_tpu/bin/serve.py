@@ -60,6 +60,10 @@ def get_args():
     p.add_argument("--requests", type=str, required=True,
                    help="TSV: id<TAB>text[<TAB>prompt_wav<TAB>prompt_text]")
     add_model_arguments(p)
+    # serving defaults differ from the (recipe-parity) training defaults:
+    # bf16 compute + int8 KV-cache are the measured serving winners
+    # (docs/perf_notes.md); f32 compute at B=256 doesn't even fit one v5e
+    p.set_defaults(dtype="bfloat16", kv_cache_dtype="int8")
     p.add_argument("--text-tokens", type=str, required=True)
     p.add_argument("--text-extractor", type=str, default="espeak")
     p.add_argument("--checkpoint", type=str, required=True)
@@ -169,7 +173,10 @@ def encode_prompts(requests, codec, pcap: int, encode_batch: int):
 
 def main():
     args = get_args()
-    logging.basicConfig(level=logging.INFO, force=True)
+    logging.basicConfig(
+        level=logging.INFO, force=True,
+        format="%(asctime)s %(levelname)s %(message)s",
+    )
     args.output_dir.mkdir(parents=True, exist_ok=True)
     buckets = sorted(int(b) for b in args.length_buckets.split(","))
 
@@ -182,7 +189,16 @@ def main():
     if args.quantize_weights != "none":
         from valle_tpu.nn.qdense import quantize_variables
 
-        variables = quantize_variables(variables)
+        # quantize on the HOST cpu backend and re-materialize as numpy:
+        # shipping int8 kernels + scales to the accelerator is ~4x less
+        # transfer than the f32 checkpoint (1.4 GB -> 0.37 GB at flagship
+        # dims — the dominant cold-start cost through a network-attached
+        # device)
+        cpu = jax.local_devices(backend="cpu")[0]
+        variables = jax.tree.map(
+            np.asarray,
+            jax.jit(quantize_variables, device=cpu)(variables),
+        )
 
     # multi-chip serving: dp shards the batch, tp Megatron-shards the
     # weights (and the qscale scales with them); GSPMD inserts the
@@ -203,6 +219,8 @@ def main():
             )
         bshard = batch_sharding(mesh)
 
+    logging.info("model loaded%s", " + quantized" if args.quantize_weights
+                 != "none" else "")
     tokenizer = TextTokenizer(backend=args.text_extractor)
     collater = get_text_token_collater(args.text_tokens)
     codec = load_codec(args.codec_checkpoint) if args.codec_checkpoint else None
@@ -236,6 +254,8 @@ def main():
         # bucket routing by estimated audio length
         est = int(r["nar_len"] * args.frames_per_phoneme)
         r["bucket"] = next((b for b in buckets if est <= b), buckets[-1])
+
+    logging.info("host preprocessing done (%d requests)", len(requests))
 
     # ---------------- bucketed batched generation --------------------------
     rng = jax.random.PRNGKey(args.seed)
@@ -339,7 +359,10 @@ def main():
     pending = None
     for chunk, bucket in jobs:
         rng, sub = jax.random.split(rng)
+        t_d = time.perf_counter()
         job = dispatch(chunk, bucket, sub)
+        logging.info("  dispatched batch of %d (max_new=%d) in %.2fs host",
+                     len(chunk), bucket, time.perf_counter() - t_d)
         if pending is not None:
             finish(pending)  # overlaps the job just dispatched
         pending = job
