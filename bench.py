@@ -164,7 +164,8 @@ def _build_codec():
 
 
 def bench_end_to_end(batch=256, iters=3, max_new=512, quant="w8a8",
-                     decode_chunk=128, pipelined=True, label=None):
+                     decode_chunk=128, pipelined=True, label=None,
+                     codec_dtype="float32"):
     """North-star WAV-OUT serving rate: token generation -> EnCodec decode ->
     int16 waveforms fetched to the host, per wall second per chip.
 
@@ -183,6 +184,10 @@ def bench_end_to_end(batch=256, iters=3, max_new=512, quant="w8a8",
 
     run = _build_generate(batch, 8, "xla", "int8", max_new, quant)
     codec = _build_codec()
+    if codec_dtype != "float32":
+        from valle_tpu.codec.encodec_model import EncodecJax
+
+        codec = EncodecJax(codec.params, decode_dtype=codec_dtype)
     hop = codec.cfg.hop_length
 
     def decode_all(codes):
@@ -325,6 +330,9 @@ def main():
     # in tests/test_quantize.py).  bf16 reported alongside.
     value = bench_generate(quant="w8a8")
     value_e2e = bench_end_to_end(quant="w8a8")
+    # serve.py's default: bf16 codec decode (3.2x the fp32 decode; fp32
+    # stays the e2e headline for waveform-parity conservatism)
+    value_e2e_cb16 = bench_end_to_end(quant="w8a8", codec_dtype="bfloat16")
     value_bf16 = bench_generate()
     train = bench_train()
     train_nar = bench_train_nar()
@@ -345,6 +353,7 @@ def main():
         # that number; `value` is token-generation only)
         "end_to_end": round(value_e2e, 3),
         "end_to_end_vs_baseline": round(value_e2e / 50.0, 3),
+        "end_to_end_codec_bf16": round(value_e2e_cb16, 3),
         "value_bf16": round(value_bf16, 3),
         "train": train,
         "train_nar": train_nar,

@@ -120,3 +120,24 @@ def test_real_prompt_wav_codes_match(models):
 
     d = mel_distance(got_wav[0, 0], ref_wav[0, 0])
     assert d < 0.05, d
+
+
+def test_decode_bf16_close_and_int16(models):
+    """decode_dtype='bfloat16' (serving knob): waveform within bf16-rounding
+    distance of fp32; out_int16 conversion matches a host-side conversion
+    of the fp32 decode within 2 LSB."""
+    _hf, ours = models
+    bf = EncodecJax(ours.params, decode_dtype="bfloat16")
+    rng = np.random.RandomState(2)
+    codes = jnp.asarray(rng.randint(0, 1024, (2, 75, 8)).astype(np.int32))
+
+    f32 = np.asarray(ours.decode(codes))
+    b16 = np.asarray(bf.decode(codes))
+    assert b16.dtype == np.float32  # cast back on the way out
+    scale = max(np.max(np.abs(f32)), 1e-6)
+    assert np.max(np.abs(b16 - f32)) / scale < 0.05
+
+    i16 = np.asarray(ours.decode(codes, out_int16=True))
+    assert i16.dtype == np.int16
+    ref_i16 = np.round(np.clip(f32, -1, 1) * 32767.0).astype(np.int16)
+    assert np.max(np.abs(i16.astype(np.int32) - ref_i16.astype(np.int32))) <= 2

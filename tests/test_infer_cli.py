@@ -122,7 +122,7 @@ def test_infer_continual(tmp_path, monkeypatch):
 
     wav_path = tmp_path / "prompt.wav"
     wav_path.write_bytes(b"")  # read_wav is monkeypatched below
-    monkeypatch.setattr(infer, "load_codec", lambda path: _FakeCodec())
+    monkeypatch.setattr(infer, "load_codec", lambda path, **kw: _FakeCodec())
     monkeypatch.setattr(
         infer, "read_wav",
         lambda path: (np.zeros(24000 * 2, np.float32), 24000),

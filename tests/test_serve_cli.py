@@ -43,7 +43,7 @@ def test_serve_buckets_and_outputs(tmp_path, monkeypatch):
         "# comment line ignored\n"
     )
 
-    monkeypatch.setattr(serve, "load_codec", lambda path: _FakeCodec())
+    monkeypatch.setattr(serve, "load_codec", lambda path, **kw: _FakeCodec())
     monkeypatch.setattr(
         serve, "read_wav",
         lambda path: (np.zeros(24000, np.float32), 24000),

@@ -122,7 +122,7 @@ def unflatten(flat: dict) -> dict:
     return out
 
 
-def load_codec(path: str) -> EncodecJax:
+def load_codec(path: str, decode_dtype: str = "float32") -> EncodecJax:
     flat = dict(np.load(path, allow_pickle=False))
     params = unflatten(flat)
     # lstm lists were saved as indexed keys; restore list structure
@@ -133,7 +133,7 @@ def load_codec(path: str) -> EncodecJax:
             return {k: fix_lstm(v) for k, v in tree.items()}
         return tree
 
-    return EncodecJax(fix_lstm(params))
+    return EncodecJax(fix_lstm(params), decode_dtype=decode_dtype)
 
 
 def main():

@@ -70,6 +70,12 @@ def get_args():
     p.add_argument("--codec-checkpoint", type=str, default="",
                    help=".npz converted EnCodec weights; omit to emit codes "
                    "only")
+    p.add_argument("--codec-dtype", type=str, default="bfloat16",
+                   choices=("float32", "bfloat16"),
+                   help="decode-direction compute dtype; bfloat16 measured "
+                   "3.2x faster (552 -> 1791 audio-s/s at B=128) at "
+                   "bf16-rounding waveform deviation; float32 for bit-level "
+                   "parity work (encode/tokenization is always float32)")
     p.add_argument("--output-dir", type=Path, default=Path("serve_out"))
     p.add_argument("--batch-size", type=int, default=256,
                    help="max sequences per compiled batch (the measured "
@@ -223,7 +229,11 @@ def main():
                  != "none" else "")
     tokenizer = TextTokenizer(backend=args.text_extractor)
     collater = get_text_token_collater(args.text_tokens)
-    codec = load_codec(args.codec_checkpoint) if args.codec_checkpoint else None
+    codec = (
+        load_codec(args.codec_checkpoint, decode_dtype=args.codec_dtype)
+        if args.codec_checkpoint
+        else None
+    )
     # frame rate / hop come from the loaded codec (a codec at another
     # sample rate or hop would otherwise silently mis-time durations)
     frame_rate = (

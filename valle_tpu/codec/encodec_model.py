@@ -293,9 +293,27 @@ def rvq_decode(codebooks: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
 class EncodecJax:
     """Functional EnCodec: construct with a params tree (see convert.py)."""
 
-    def __init__(self, params: Dict, cfg: Optional[EncodecConfig] = None):
+    def __init__(
+        self,
+        params: Dict,
+        cfg: Optional[EncodecConfig] = None,
+        decode_dtype: str = "float32",
+    ):
+        """``decode_dtype="bfloat16"`` runs the DECODE direction in bf16
+        (decoder weights pre-cast once): halves the decode weight/activation
+        HBM traffic for serving.  Opt-in — the waveform differs from fp32 at
+        the bf16 rounding level; encode always stays fp32 so token
+        sequences are unaffected."""
         self.params = params
         self.cfg = cfg or EncodecConfig()
+        self.decode_dtype = jnp.dtype(decode_dtype)
+        if self.decode_dtype != jnp.float32:
+            dec = jax.tree.map(
+                lambda a: jnp.asarray(a, self.decode_dtype), params["decoder"]
+            )
+            self._params_dec = {**params, "decoder": dec}
+        else:
+            self._params_dec = params
         self._encode = jax.jit(self._encode_impl, static_argnums=(2,))
         self._decode = jax.jit(self._decode_impl)
         self._decode_i16 = jax.jit(self._decode_i16_impl)
@@ -314,7 +332,8 @@ class EncodecJax:
 
     def _decode_impl(self, params, codes):
         latents = rvq_decode(params["quantizer"], codes)
-        return decode_latents(params, latents, self.cfg)
+        latents = latents.astype(self.decode_dtype)
+        return decode_latents(params, latents, self.cfg).astype(jnp.float32)
 
     def _decode_i16_impl(self, params, codes):
         wav = self._decode_impl(params, codes)
@@ -339,5 +358,5 @@ class EncodecJax:
         container format — halving the device->host transfer, which matters
         for batched wav-out serving (serve.py, bench.py end_to_end)."""
         fn = self._decode_i16 if out_int16 else self._decode
-        out = fn(self.params, jnp.asarray(codes))
+        out = fn(self._params_dec, jnp.asarray(codes))
         return jnp.swapaxes(out, 1, 2)
