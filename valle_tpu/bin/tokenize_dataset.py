@@ -54,10 +54,11 @@ def get_args():
                    help="Encodec codes (VALL-E) or BigVGAN fbank features "
                    "(Transformer baseline, ref bin/tokenizer.py:81,148)")
     p.add_argument("--text-extractor", type=str, default="espeak")
-    p.add_argument("--batch-frames", type=int, default=32,
+    p.add_argument("--batch-frames", type=int, default=64,
                    help="wavs encoded per device batch (padded to max len); "
-                   "32 is the measured v5e optimum — 218.9 audio-s/s vs "
-                   "62.8 at 8 and a regression at 64 (bench.py tokenize, "
+                   "64 is the measured v5e sweet spot after the round-4 "
+                   "LSTM scan fixes — 248.7 audio-s/s (B=128 adds only 6% "
+                   "at 2x the per-batch latency; bench.py tokenize, "
                    "docs/perf_notes.md)")
     p.add_argument("--shard-format", type=str, default="vsh",
                    choices=["vsh", "h5"],
