@@ -36,6 +36,7 @@ import json
 import logging
 import time
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import jax
@@ -270,6 +271,7 @@ def main():
     # ---------------- bucketed batched generation --------------------------
     rng = jax.random.PRNGKey(args.seed)
     manifest = []
+    writers = ThreadPoolExecutor(max_workers=8)
     wall0 = time.perf_counter()
     jobs = []  # (chunk, bucket) work list
     for bucket in buckets:
@@ -288,9 +290,11 @@ def main():
             dp = args.data_parallel
             b = max(dp, -(-b // dp) * dp)
         # pad ragged shapes to the batch maxima (one compile per
-        # (b, S, P, max_new) tuple; S/P rounded up to multiples of 16 and b
-        # quantized to powers of two to bound program count)
-        rnd = lambda v: max(16, -(-v // 16) * 16)
+        # (b, S, P, max_new) tuple; S/P rounded up to multiples of 32 and b
+        # quantized to powers of two to bound program count — a distinct
+        # shape costs 30-60 s of tracing + remote compile per process, so
+        # chunks should SHARE programs whenever text lengths are close)
+        rnd = lambda v: max(32, -(-v // 32) * 32)
         s = rnd(max(r["x_len"] for r in chunk))
         sn = rnd(max(r["nar_len"] for r in chunk))
         pmax = max((len(r["prompt"]) for r in chunk), default=0)
@@ -356,15 +360,22 @@ def main():
             f"  batch of {n} (max_new={bucket}): {dt:.2f}s device+fetch "
             f"({lengths.sum() / frame_rate / dt:.1f} audio-s/s)"
         )
+        futures = []
         for j, (r, c, L) in enumerate(zip(chunk, codes, lengths)):
             L = int(L)
             np.save(args.output_dir / f"{r['id']}_codes.npy", c[:L])
             entry = {"id": r["id"], "frames": L,
                      "seconds": L / frame_rate, "bucket": bucket}
             if wavs is not None and L > 0:
-                write_wav(str(args.output_dir / f"{r['id']}.wav"),
-                          wavs[j][..., : L * hop], codec.sample_rate)
+                # wav writes go through a thread pool: a full batch is 256
+                # files and the serial writes sat on the critical path
+                futures.append(writers.submit(
+                    write_wav, str(args.output_dir / f"{r['id']}.wav"),
+                    wavs[j][..., : L * hop], codec.sample_rate,
+                ))
             manifest.append(entry)
+        for f in futures:
+            f.result()
 
     pending = None
     for chunk, bucket in jobs:

@@ -206,8 +206,6 @@ def serve_continuous(
     Returns one {"codes": (len,Q), "length": int} per request, in order.
     """
     assert model.variant == "valle", "continuous scheduler: VALL-E only"
-    cfg = model.cfg
-    q = cfg.num_quantizers
     r_total = requests["x"].shape[0]
     b = batch_size
     assert r_total >= b, "need at least one full batch of requests"
@@ -283,7 +281,6 @@ def serve_continuous(
         if admissions:
             for a0 in range(0, len(admissions), admit_width):
                 grp = admissions[a0 : a0 + admit_width]
-                n = len(grp)
                 slots = np.full((admit_width,), b, np.int32)  # b = dropped
                 ridx = np.zeros((admit_width,), np.int64)
                 for j, (s_i, r_i) in enumerate(grp):
@@ -308,7 +305,6 @@ def serve_continuous(
     order = sorted(harvested)
     for g0 in range(0, len(order), b):
         grp = order[g0 : g0 + b]
-        n = len(grp)
         tok = np.zeros((b, nar_bucket), np.int32)
         lens = np.zeros((b,), np.int32)
         ridx = np.zeros((b,), np.int64)
