@@ -329,10 +329,13 @@ def main():
     # the NAR Dense matmuls run on the MXU's int8 path; greedy/numeric parity
     # in tests/test_quantize.py).  bf16 reported alongside.
     value = bench_generate(quant="w8a8")
-    value_e2e = bench_end_to_end(quant="w8a8")
-    # serve.py's default: bf16 codec decode (3.2x the fp32 decode; fp32
-    # stays the e2e headline for waveform-parity conservatism)
-    value_e2e_cb16 = bench_end_to_end(quant="w8a8", codec_dtype="bfloat16")
+    # e2e headline = the SERVING DEFAULT (bf16 codec decode, serve.py):
+    # 3.2x the fp32 decode and much more run-stable (the fp32 decode
+    # measured 552-1340 audio-s/s across runs on this chip, swinging the
+    # e2e composite 117-162; perf_notes).  The fp32-codec row stays as the
+    # waveform-parity reference.
+    value_e2e = bench_end_to_end(quant="w8a8", codec_dtype="bfloat16")
+    value_e2e_cf32 = bench_end_to_end(quant="w8a8")
     value_bf16 = bench_generate()
     train = bench_train()
     train_nar = bench_train_nar()
@@ -347,13 +350,15 @@ def main():
         "unit": "s/s/chip",
         "vs_baseline": round(value / 50.0, 3),
         "quant": "w8a8",
-        # the north-star WAV-OUT rate: generation + EnCodec decode + host
-        # int16 wav fetch, one chip doing everything (vs_baseline's >= 50
-        # north star reads "producing mel-allclose waveforms" — this is
-        # that number; `value` is token-generation only)
+        # the north-star WAV-OUT rate: generation + EnCodec decode (bf16,
+        # the serving default) + host int16 wav fetch, one chip doing
+        # everything (vs_baseline's >= 50 north star reads "producing
+        # mel-allclose waveforms" — this is that number; `value` is
+        # token-generation only; end_to_end_codec_f32 is the parity-dtype
+        # codec row)
         "end_to_end": round(value_e2e, 3),
         "end_to_end_vs_baseline": round(value_e2e / 50.0, 3),
-        "end_to_end_codec_bf16": round(value_e2e_cb16, 3),
+        "end_to_end_codec_f32": round(value_e2e_cf32, 3),
         "value_bf16": round(value_bf16, 3),
         "train": train,
         "train_nar": train_nar,
