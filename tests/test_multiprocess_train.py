@@ -187,3 +187,83 @@ def test_two_process_global_mesh_train_step(tmp_path):
     ref_loss, ref_csum = _single_process_reference()
     np.testing.assert_allclose(r0["loss"], ref_loss, rtol=1e-5)
     np.testing.assert_allclose(r0["checksum"], ref_csum, rtol=1e-5)
+
+
+def _build_codes_corpus(root):
+    """Small VSH codes corpus (25 utts) for the CLI-level run."""
+    from valle_tpu import macros
+    from valle_tpu.data import (
+        CodeShardWriter, Manifest, SymbolTable, TextTokenizer,
+    )
+
+    rng = np.random.RandomState(0)
+    tok = TextTokenizer(backend="chars")
+    words = ["hello", "world", "voice", "test", "codec"]
+    records, symbols = [], set()
+    with CodeShardWriter(root) as w:
+        for k in range(25):
+            text = " ".join(rng.choice(words, 4))
+            utt_id = f"0_{100}_{k:06d}_000000"
+            dur = float(rng.uniform(1.0, 3.0))
+            t = int(dur * macros.AUDIO_FRAME_RATE)
+            shard, key = w.write(utt_id, rng.randint(0, 1024, (t, 8)))
+            tokens = tok([text])[0]
+            symbols.update(tokens)
+            records.append({"id": utt_id, "text": text, "tokens": tokens,
+                            "duration": dur, "shard": shard, "key": key})
+    Manifest.save(iter(records), root / "manifest_train.jsonl.gz")
+    table = SymbolTable()
+    for s in sorted(symbols):
+        table.add(s)
+    table.to_file(root / "unique_text_tokens.k2symbols")
+
+
+def test_train_cli_two_process(tmp_path):
+    """The FULL bin/train CLI across 2 processes: --num-processes /
+    --coordinator-address wire jax.distributed.initialize, the rank-sharded
+    loader equalizes per-host group counts, shard_batch assembles the
+    global batch from process-local data, and the distributed Orbax
+    epoch checkpoint lands.  (The step-level 2-process test above pins
+    numerics; this pins the CLI plumbing.)"""
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    _build_codes_corpus(corpus)
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env.pop("JAX_PLATFORM_NAME", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "valle_tpu.bin.train",
+             "--manifest-dir", str(corpus),
+             "--exp-dir", str(exp),
+             "--decoder-dim", "64", "--nhead", "4",
+             "--num-decoder-layers", "2", "--num-quantizers", "8",
+             "--num-epochs", "1",
+             "--max-duration", "8.0",
+             "--num-buckets", "2",
+             "--accumulate-grad-steps", "2",
+             "--oom-check", "false",
+             "--tensorboard", "false",
+             "--valid-interval", "100000",
+             "--save-every-n", "0",
+             "--log-interval", "1",
+             "--num-processes", "2",
+             "--process-id", str(rank),
+             "--coordinator-address", f"127.0.0.1:{port}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ))
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (stdout, stderr) in zip(procs, outs):
+        assert p.returncode == 0, (stdout + stderr)[-4000:]
+    log = (exp / "log.txt").read_text()
+    assert "distributed: process" in log
+    assert "epoch 1 done" in log
+    ckpts = list((exp / "checkpoints").iterdir())
+    assert ckpts, "no distributed checkpoint written"

@@ -62,6 +62,16 @@ def get_parser():
     parser.add_argument("--keep-last-k", type=int, default=20)
     parser.add_argument("--average-period", type=int, default=0)
     parser.add_argument("--seed", type=int, default=42)
+    # multi-host launch (the TPU-native equivalent of the reference's
+    # --world-size/--master-port DDP spawn, ref trainer.py:95-100,1152):
+    # one process per host; on a TPU pod slice all three can be omitted
+    # and jax.distributed auto-detects from the TPU environment.
+    parser.add_argument("--num-processes", type=int, default=1,
+                        help="total train processes (hosts); >1 calls "
+                        "jax.distributed.initialize")
+    parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--coordinator-address", type=str, default="",
+                        help="host:port of process 0")
     parser.add_argument("--inf-check", type=str2bool, default=False)
     parser.add_argument("--oom-check", type=str2bool, default=True)
     parser.add_argument("--tensorboard", type=str2bool, default=True)
@@ -114,6 +124,18 @@ def run(args):
         ],
         force=True,  # jax configures the root logger first; override it
     )
+    if getattr(args, "num_processes", 1) and args.num_processes > 1:
+        from valle_tpu.parallel import dist
+
+        dist.initialize(
+            coordinator_address=args.coordinator_address or None,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        logging.info(
+            f"distributed: process {jax.process_index()}/"
+            f"{jax.process_count()}"
+        )
     cfg = config_from_args(args)
     model = get_model(cfg)
     logging.info(f"model config: {cfg}")
@@ -337,8 +359,10 @@ def run(args):
                     dt = time.time() - t_last
                     t_last = time.time()
                     # analytic MFU per chip over the interval (matmul FLOPs
-                    # from the batch shapes vs the chip's bf16 peak)
-                    n_dev = max(jax.device_count(), 1)
+                    # from THIS HOST's batch shapes vs this host's chips —
+                    # the loader is rank-sharded, so local flops over local
+                    # devices is the per-chip utilization on any world size)
+                    n_dev = max(jax.local_device_count(), 1)
                     mfu = flops_since_log / max(dt, 1e-9) / (peak * n_dev)
                     flops_since_log = 0.0
                     mem = ""

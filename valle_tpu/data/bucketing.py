@@ -135,8 +135,25 @@ class DynamicBucketingSampler:
                 items.extend([-1] * pad)
         if self.shuffle:
             rng.shuffle(batches)
-        # shard across hosts: each host takes batches rank::world_size
+        # shard across hosts: each host takes batches rank::world_size,
+        # truncated to the COMMON count — a host running extra steps would
+        # desynchronize the global-mesh collectives inside the jitted train
+        # step (every host must execute the same number of programs)
+        if self.world_size > 1:
+            n_even = len(batches) - (len(batches) % self.world_size)
+            batches = batches[:n_even]
         return batches[self.rank :: self.world_size]
+
+    def batches_for_rank(self, rank: int) -> List[Tuple[int, List[int]]]:
+        """Any rank's batch list — derivable on EVERY host because the
+        global list is a pure function of (seed, epoch).  Lets the loader
+        equalize per-host step counts without communication."""
+        saved = self.rank
+        try:
+            self.rank = rank
+            return self._batches()
+        finally:
+            self.rank = saved
 
     def __iter__(self) -> Iterator[Tuple[BucketSpec, List[int]]]:
         self._consumed = 0

@@ -175,6 +175,8 @@ class TtsDataLoader:
             self.prompts = NeighborPromptStrategy(dataset_name, ids)
             self._codes_cache: Dict[str, np.ndarray] = {}
         self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
 
     def set_epoch(self, epoch: int) -> None:
         self.sampler.set_epoch(epoch)
@@ -231,11 +233,43 @@ class TtsDataLoader:
             self._id2idx = {r["id"]: i for i, r in enumerate(self.manifest.records)}
         return self._id2idx[utt_id]
 
+    def _count_groups(self, pairs) -> int:
+        """Accumulation groups a (spec, indices) stream would yield — the
+        same reset-on-bucket-change logic as __iter__, specs only."""
+        n, cnt = 0, 0
+        spec_prev: Optional[BucketSpec] = None
+        for spec, _rel in pairs:
+            if spec_prev is not None and (
+                spec.max_text_len != spec_prev.max_text_len
+                or spec.max_audio_len != spec_prev.max_audio_len
+            ):
+                cnt = 0
+            spec_prev = spec
+            cnt += 1
+            if cnt == self.accum:
+                n += 1
+                cnt, spec_prev = 0, None
+        return n
+
     def __iter__(self) -> Iterator[Dict]:
         rng = random.Random(self.seed + getattr(self, "epoch", 0))
+        # Multi-host: every host must yield the SAME number of groups or
+        # the global-mesh collectives inside the jitted step desynchronize.
+        # The global batch list is a pure function of (seed, epoch), so
+        # every host derives every rank's group count and truncates to the
+        # minimum — no communication needed.
+        limit = None
+        if self.world_size > 1:
+            limit = min(
+                self._count_groups(self.sampler.batches_for_rank(r))
+                for r in range(self.world_size)
+            )
+        yielded = 0
         micro: List[Dict] = []
         spec_of: Optional[BucketSpec] = None
         for spec, rel in self.sampler:
+            if limit is not None and yielded >= limit:
+                break
             if spec_of is not None and (
                 spec.max_text_len != spec_of.max_text_len
                 or spec.max_audio_len != spec_of.max_audio_len
@@ -248,6 +282,7 @@ class TtsDataLoader:
                     self._add_prompts(micro, rng)
                 yield self._stack(micro)
                 micro, spec_of = [], None
+                yielded += 1
         # drop ragged tail micro-group (shapes must agree)
 
     @staticmethod

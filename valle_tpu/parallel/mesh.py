@@ -107,12 +107,31 @@ def quantized_shardings(variables, mesh: Mesh) -> dict:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: int = 0) -> dict:
-    """Device-put a host batch dict with dim ``axis`` over 'data'
-    (axis=1 for train batches whose leading dim is the micro-batch axis)."""
+    """Shard a host batch dict with dim ``axis`` over 'data' (axis=1 for
+    train batches whose leading dim is the micro-batch axis).
+
+    When the mesh spans multiple processes, each process's array is its
+    PROCESS-LOCAL portion (the rank-sharded loader's batch) and the global
+    array is their concatenation along ``axis`` — the DDP semantics the
+    reference's per-rank DataLoader has (ref trainer.py:1000-1014).
+    ``jax.device_put`` would instead treat the local array as the global
+    value and silently use only each host's addressable slice of it,
+    dropping half of every host's loaded data; hence
+    ``make_array_from_process_local_data`` on multi-process meshes."""
+    procs = {d.process_index for d in mesh.devices.flat}
+    multiprocess = len(procs) > 1
 
     def put(a):
         spec = [None] * a.ndim
         spec[axis] = "data"
-        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+        sharding = NamedSharding(mesh, P(*spec))
+        if multiprocess:
+            a = np.asarray(a)
+            global_shape = list(a.shape)
+            global_shape[axis] *= len(procs)
+            return jax.make_array_from_process_local_data(
+                sharding, a, tuple(global_shape)
+            )
+        return jax.device_put(a, sharding)
 
     return jax.tree.map(put, batch)

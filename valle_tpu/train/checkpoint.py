@@ -32,13 +32,28 @@ class CheckpointManager:
         self._ckpt = ocp.StandardCheckpointer()
 
     # ------------------------------------------------------------- low level
+    @staticmethod
+    def _barrier(tag: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
     def _save(self, name: str, state: TrainState, meta: Dict) -> Path:
         path = (self.dir / name).absolute()
-        if path.exists():
+        # pre-save cleanup on the primary ONLY, with a barrier before the
+        # distributed save: every rank runs _save, and an unbarriered
+        # rmtree on rank 1 can delete the directory rank 0's in-flight
+        # Orbax save just created (a measured flake in the 2-process CLI
+        # train test)
+        if jax.process_index() == 0 and path.exists():
             shutil.rmtree(path)
+        self._barrier(f"ckpt_clean_{name}")
         self._ckpt.save(path, state)
         self._ckpt.wait_until_finished()
-        (self.dir / f"{name}.meta.json").write_text(json.dumps(meta))
+        if jax.process_index() == 0:
+            (self.dir / f"{name}.meta.json").write_text(json.dumps(meta))
+        self._barrier(f"ckpt_done_{name}")
         return path
 
     def _restore(
@@ -63,7 +78,11 @@ class CheckpointManager:
 
     def _update_best(self, name: str, meta: Dict) -> None:
         """Track best-train-loss / best-valid-loss as symlink-style markers
-        (ref trainer.py:477-483 copies; we record the source name)."""
+        (ref trainer.py:477-483 copies; we record the source name).
+        Primary-only: concurrent read-modify-writes of the marker files
+        from multiple ranks would race."""
+        if jax.process_index() != 0:
+            return
         for key, marker in (
             ("train_loss", "best-train-loss"),
             ("valid_loss", "best-valid-loss"),
@@ -80,6 +99,8 @@ class CheckpointManager:
                 )
 
     def _prune(self) -> None:
+        if jax.process_index() != 0:
+            return
         steps = sorted(
             int(p.name.split("-")[1])
             for p in self.dir.iterdir()
