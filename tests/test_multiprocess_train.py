@@ -237,8 +237,15 @@ def test_train_cli_two_process(tmp_path):
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
         env.pop("JAX_PLATFORM_NAME", None)
+        # the container's sitecustomize pins JAX_PLATFORMS=axon over the
+        # env var, so the CLI must be launched through an explicit
+        # jax.config override (same pattern as the step-level workers)
         procs.append(subprocess.Popen(
-            [sys.executable, "-m", "valle_tpu.bin.train",
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','cpu');"
+             "import runpy, sys;"
+             "sys.argv = ['train'] + sys.argv[1:];"
+             "runpy.run_module('valle_tpu.bin.train', run_name='__main__')",
              "--manifest-dir", str(corpus),
              "--exp-dir", str(exp),
              "--decoder-dim", "64", "--nhead", "4",

@@ -200,7 +200,15 @@ def run(args):
 
     # find an example batch for init
     loader.set_epoch(args.start_epoch)
-    example = next(iter(loader))
+    try:
+        example = next(iter(loader))
+    except StopIteration:
+        raise SystemExit(
+            "the training loader yields zero accumulation groups — the "
+            "corpus is too small for num_processes x accumulate-grad-steps "
+            "at this --max-duration (every host needs at least one full "
+            "group of same-bucket batches)"
+        )
     example_batch = {
         k: jnp.asarray(v[0])
         for k, v in example.items()

@@ -234,21 +234,18 @@ class TtsDataLoader:
         return self._id2idx[utt_id]
 
     def _count_groups(self, pairs) -> int:
-        """Accumulation groups a (spec, indices) stream would yield — the
-        same reset-on-bucket-change logic as __iter__, specs only."""
-        n, cnt = 0, 0
-        spec_prev: Optional[BucketSpec] = None
-        for spec, _rel in pairs:
-            if spec_prev is not None and (
-                spec.max_text_len != spec_prev.max_text_len
-                or spec.max_audio_len != spec_prev.max_audio_len
-            ):
-                cnt = 0
-            spec_prev = spec
-            cnt += 1
-            if cnt == self.accum:
+        """Accumulation groups a (bucket_id, indices) stream
+        (``sampler.batches_for_rank``) would yield — same per-bucket
+        buffering as __iter__, specs only."""
+        tally: Dict = {}
+        n = 0
+        for b, _rel in pairs:
+            spec = self.sampler.bucket_specs[b]
+            key = (spec.max_text_len, spec.max_audio_len)
+            tally[key] = tally.get(key, 0) + 1
+            if tally[key] == self.accum:
                 n += 1
-                cnt, spec_prev = 0, None
+                tally[key] = 0
         return n
 
     def __iter__(self) -> Iterator[Dict]:
@@ -265,25 +262,26 @@ class TtsDataLoader:
                 for r in range(self.world_size)
             )
         yielded = 0
-        micro: List[Dict] = []
-        spec_of: Optional[BucketSpec] = None
+        # per-bucket-shape buffering: a group forms whenever any bucket has
+        # ``accum`` pending batches (micro-batch shapes must agree inside a
+        # group).  Indices are buffered, not data — nothing is loaded for
+        # batches whose group never completes, and alternating buckets no
+        # longer discard partial groups (the earlier reset-on-change logic
+        # could starve a rank of groups entirely).
+        pending: Dict = {}
         for spec, rel in self.sampler:
             if limit is not None and yielded >= limit:
                 break
-            if spec_of is not None and (
-                spec.max_text_len != spec_of.max_text_len
-                or spec.max_audio_len != spec_of.max_audio_len
-            ):
-                micro = []  # bucket changed mid-group: restart the group
-            spec_of = spec
-            micro.append(self._one(spec, rel))
-            if len(micro) == self.accum:
+            key = (spec.max_text_len, spec.max_audio_len)
+            pending.setdefault(key, []).append((spec, rel))
+            if len(pending[key]) == self.accum:
+                micro = [self._one(s, r) for s, r in pending.pop(key)]
                 if self.prompts is not None:
                     self._add_prompts(micro, rng)
                 yield self._stack(micro)
-                micro, spec_of = [], None
                 yielded += 1
-        # drop ragged tail micro-group (shapes must agree)
+        # ragged per-bucket tails dropped (shapes must agree)
+
 
     @staticmethod
     def _stack(micros: List[Dict]) -> Dict:
