@@ -77,17 +77,64 @@ def test_continuous_matches_generate_greedy(setup):
         )
 
 
-def test_continuous_requires_full_first_batch(setup):
+def test_continuous_partial_batch(setup):
+    """R < batch_size: padding rows fill the spare slots and are dropped."""
     model, variables, x, x_lens, prompts, plens = setup
-    # r_total >= batch_size is part of the contract
-    with pytest.raises(AssertionError):
-        serve_continuous(
-            model, variables, jax.random.PRNGKey(0),
-            {
-                "x": np.asarray(x)[:2], "x_lens": np.asarray(x_lens)[:2],
-                "prompts": np.asarray(prompts)[:2],
-                "prompt_lens": np.asarray(plens)[:2],
-                "stop_lens": np.full((2,), 8, np.int32),
-            },
-            batch_size=4, cap_steps=64, chunk=8,
+    stop_lens = np.full((2,), 8, np.int32)
+    ref = generate(
+        model, variables, jax.random.PRNGKey(9), x[:2], x_lens[:2],
+        prompts[:2], plens[:2], top_k=1, max_new_tokens=MAX_NEW,
+        forbid_eos=True, stop_lens=jnp.asarray(stop_lens),
+    )
+    out = serve_continuous(
+        model, variables, jax.random.PRNGKey(0),
+        {
+            "x": np.asarray(x)[:2], "x_lens": np.asarray(x_lens)[:2],
+            "prompts": np.asarray(prompts)[:2],
+            "prompt_lens": np.asarray(plens)[:2],
+            "stop_lens": stop_lens,
+        },
+        batch_size=4, cap_steps=64, chunk=8, top_k=1, forbid_eos=True,
+        nar_bucket=MAX_NEW,
+    )
+    assert len(out) == 2 and all(o is not None for o in out)
+    ref_codes, ref_lens = np.asarray(ref["codes"]), np.asarray(ref["lengths"])
+    for i in range(2):
+        L = out[i]["length"]
+        assert L == int(ref_lens[i])
+        np.testing.assert_array_equal(out[i]["codes"], ref_codes[i, :L])
+
+
+def test_continuous_cap_steps_restart(setup):
+    """A step budget too small to admit the whole queue in one state must
+    restart with a fresh state over the remaining requests rather than
+    silently dropping them (and must never hit the off-by-one where a slot
+    admitted at t_now with t_now + stop == cap_steps can't finish)."""
+    model, variables, x, x_lens, prompts, plens = setup
+    r = x.shape[0]
+    stop_lens = np.random.RandomState(3).randint(4, 10, r).astype(np.int32)
+    ref = generate(
+        model, variables, jax.random.PRNGKey(9), x, x_lens, prompts, plens,
+        top_k=1, max_new_tokens=MAX_NEW, forbid_eos=True,
+        stop_lens=jnp.asarray(stop_lens),
+    )
+    ref_codes, ref_lens = np.asarray(ref["codes"]), np.asarray(ref["lengths"])
+    out = serve_continuous(
+        model, variables, jax.random.PRNGKey(9),
+        {
+            "x": np.asarray(x), "x_lens": np.asarray(x_lens),
+            "prompts": np.asarray(prompts), "prompt_lens": np.asarray(plens),
+            "stop_lens": stop_lens,
+        },
+        # cap barely above max_stop: admission blocks almost immediately,
+        # forcing several restarts to drain the queue
+        batch_size=4, cap_steps=int(stop_lens.max()) + 2, chunk=4,
+        admit_width=4, top_k=1, forbid_eos=True, nar_bucket=MAX_NEW,
+    )
+    assert len(out) == r and all(o is not None for o in out)
+    for i in range(r):
+        L = out[i]["length"]
+        assert L == int(ref_lens[i]), f"request {i}: length mismatch"
+        np.testing.assert_array_equal(
+            out[i]["codes"], ref_codes[i, :L], err_msg=f"request {i}"
         )

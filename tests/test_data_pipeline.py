@@ -204,6 +204,48 @@ def test_resume_state(corpus):
     ]
 
 
+def test_multihost_resume_group_equalization(corpus):
+    """Mid-epoch resume on a 2-host world: every rank must yield the same
+    number of groups as the others AND the resumed streams must continue
+    exactly where the uninterrupted runs left off (group boundaries are
+    reconstructed by replay, not shifted by fresh pending buffers)."""
+    m = Manifest.load(corpus / "manifest_train.jsonl.gz")
+    collater = get_text_token_collater(
+        str(corpus / "unique_text_tokens.k2symbols")
+    )
+    mk = lambda r: TtsDataLoader(
+        m, collater, max_duration=8.0, num_buckets=2, accum_steps=2,
+        seed=3, rank=r, world_size=2,
+    )
+    full = {}
+    for r in (0, 1):
+        ld = mk(r)
+        ld.set_epoch(0)
+        full[r] = [b["utt_id"] for b in ld]
+    assert len(full[0]) == len(full[1]) >= 2, "need >=2 equalized groups"
+
+    # consume one group on each rank, save rank-0's state (what the primary
+    # writes into the checkpoint), resume BOTH ranks from it
+    states = {}
+    for r in (0, 1):
+        ld = mk(r)
+        ld.set_epoch(0)
+        it = iter(ld)
+        next(it)
+        states[r] = ld.state_dict()
+    assert states[0] == states[1], "group count must be rank-invariant"
+    for r in (0, 1):
+        ld2 = mk(r)
+        ld2.set_epoch(0)
+        ld2.load_state_dict(states[0])
+        resumed = [b["utt_id"] for b in ld2]
+        want = full[r][1:]
+        assert len(resumed) == len(want), f"rank {r}: unequal group count"
+        assert [tuple(map(tuple, g)) for g in resumed] == [
+            tuple(map(tuple, g)) for g in want
+        ], f"rank {r}: resumed stream diverged"
+
+
 def test_mode4_prompts(corpus):
     m = Manifest.load(corpus / "manifest_train.jsonl.gz")
     collater = get_text_token_collater(str(corpus / "unique_text_tokens.k2symbols"))

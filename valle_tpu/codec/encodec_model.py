@@ -151,7 +151,7 @@ def lstm_stack(
     TPU shaping: the input projection ``x @ wi.T + bi`` has no sequential
     dependence, so it is hoisted out of the scan into one (B, T, C) x
     (C, 4H) matmul — only the (B, H) x (H, 4H) hidden matmul remains in the
-    recurrence.  The scan is unrolled (default 8) to amortize per-step
+    recurrence.  The scan is unrolled (default 16) to amortize per-step
     loop overhead; both together are what the decode-direction throughput
     rides on (75 sequential steps per audio-second at the bottleneck's
     frame rate, docs/perf_notes.md round-4 decode table; unroll 16 measured

@@ -183,10 +183,26 @@ class TtsDataLoader:
         self.epoch = epoch
 
     def state_dict(self):
-        return self.sampler.state_dict()
+        """Mid-epoch resume state.  The unit is the accumulation GROUP, not
+        the sampler batch: groups are what every rank yields in lockstep, so
+        the count is identical on all hosts by construction (rank-0's saved
+        state is valid for everyone); per-rank batch positions are re-derived
+        on resume by replaying the deterministic stream (no data loaded for
+        skipped groups)."""
+        return {
+            "epoch": getattr(self, "epoch", 0),
+            "groups_consumed": getattr(self, "_groups_done", 0),
+        }
 
     def load_state_dict(self, state):
-        self.sampler.load_state_dict(state)
+        if "groups_consumed" in state:
+            self.epoch = int(state["epoch"])
+            self.sampler.set_epoch(self.epoch)
+            self._resume_groups = int(state["groups_consumed"])
+            self._resume_epoch = self.epoch
+        else:  # legacy (pre-round-5) batch-count state
+            self.sampler.load_state_dict(state)
+            self.epoch = int(state.get("epoch", 0))
 
     def _one(self, spec: BucketSpec, rel_indices: List[int]) -> Dict:
         # -1 = shape-padding placeholder from the quantized sampler
@@ -249,19 +265,31 @@ class TtsDataLoader:
         return n
 
     def __iter__(self) -> Iterator[Dict]:
-        rng = random.Random(self.seed + getattr(self, "epoch", 0))
+        ep = getattr(self, "epoch", 0)
+        # Mid-epoch resume: replay the FULL deterministic stream and skip
+        # the first ``_resume_groups`` groups without loading their data.
+        # Replaying (rather than sampler-level batch skipping) keeps group
+        # boundaries, per-bucket pending buffers, and the multi-host group
+        # count identical to the uninterrupted run on every rank — a
+        # sampler-batch skip would shift boundaries because ranks consume
+        # different batch counts to yield the same group count.
+        skip = 0
+        if getattr(self, "_resume_epoch", None) == ep:
+            skip = self._resume_groups
+            self._resume_epoch = None  # one-shot
         # Multi-host: every host must yield the SAME number of groups or
         # the global-mesh collectives inside the jitted step desynchronize.
         # The global batch list is a pure function of (seed, epoch), so
         # every host derives every rank's group count and truncates to the
-        # minimum — no communication needed.
+        # minimum — no communication needed.  Both the limit and the actual
+        # iteration count groups over the full (replayed) epoch stream.
         limit = None
         if self.world_size > 1:
             limit = min(
                 self._count_groups(self.sampler.batches_for_rank(r))
                 for r in range(self.world_size)
             )
-        yielded = 0
+        self._groups_done = 0
         # per-bucket-shape buffering: a group forms whenever any bucket has
         # ``accum`` pending batches (micro-batch shapes must agree inside a
         # group).  Indices are buffered, not data — nothing is loaded for
@@ -270,16 +298,25 @@ class TtsDataLoader:
         # could starve a rank of groups entirely).
         pending: Dict = {}
         for spec, rel in self.sampler:
-            if limit is not None and yielded >= limit:
+            if limit is not None and self._groups_done >= limit:
                 break
             key = (spec.max_text_len, spec.max_audio_len)
             pending.setdefault(key, []).append((spec, rel))
             if len(pending[key]) == self.accum:
-                micro = [self._one(s, r) for s, r in pending.pop(key)]
+                grp = pending.pop(key)
+                g = self._groups_done
+                self._groups_done += 1
+                if g < skip:
+                    continue  # replayed group: counted, data never loaded
+                micro = [self._one(s, r) for s, r in grp]
                 if self.prompts is not None:
+                    # per-group seeding makes prompt draws a pure function
+                    # of (seed, epoch, group index) — resume-invariant
+                    rng = random.Random(
+                        self.seed * 1_000_003 + ep * 8191 + g
+                    )
                     self._add_prompts(micro, rng)
                 yield self._stack(micro)
-                yielded += 1
         # ragged per-bucket tails dropped (shapes must agree)
 
 

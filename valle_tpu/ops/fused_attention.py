@@ -449,10 +449,13 @@ def fused_prefix_attention(
     if dropout_rate > 0.0 and dropout_rng is not None:
         # keep-bits are seeded per (batch, head, q-block) TILE: the backward
         # regenerates them, so fwd and bwd must tile q identically or the
-        # masks diverge and the gradients are silently wrong
-        assert block_q_fwd is None or block_q_fwd == (block_q_bwd or bq_bwd), (
-            "dropout requires block_q_fwd == block_q_bwd (PRNG tile seeds)"
-        )
+        # masks diverge and the gradients are silently wrong.  Auto-picked
+        # blocks are reconciled to the min; only reject configs where the
+        # caller explicitly pinned BOTH blocks to different values.
+        assert (
+            block_q_fwd is None or block_q_bwd is None
+            or block_q_fwd == block_q_bwd
+        ), "dropout requires block_q_fwd == block_q_bwd (PRNG tile seeds)"
         bq_fwd = bq_bwd = min(bq_fwd, bq_bwd)
     assert tq_p % bq_fwd == 0 and tq_p % bq_bwd == 0, (tq_p, bq_fwd, bq_bwd)
 

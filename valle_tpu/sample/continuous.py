@@ -198,7 +198,7 @@ def serve_continuous(
     forbid_eos: bool = False,
     nar_bucket: int = 512,
 ) -> List[Dict[str, np.ndarray]]:
-    """Serve ``requests`` (R > batch_size) with slot refill.
+    """Serve ``requests`` (any R >= 1) with slot refill.
 
     requests: {"x": (R,S), "x_lens": (R,), "prompts": (R,P,Q),
     "prompt_lens": (R,), "stop_lens": (R,)} host arrays (stop_lens models
@@ -208,43 +208,57 @@ def serve_continuous(
     assert model.variant == "valle", "continuous scheduler: VALL-E only"
     r_total = requests["x"].shape[0]
     b = batch_size
-    assert r_total >= b, "need at least one full batch of requests"
     eos_like = jnp.iinfo(jnp.int32).max // 2
 
     take = lambda k, idx: jnp.asarray(requests[k][idx])
-    first = np.arange(min(b, r_total))
-    logits, parts, pre_valid = _prefill_parts(
-        model, variables, take("x", first), take("x_lens", first),
-        take("prompts", first), take("prompt_lens", first),
-    )
-    tpre = pre_valid.shape[1]
-    # fixed capacity: every slot's generated region is [tpre, tpre+own_len]
-    # (per-slot write columns), so the cache need only hold the LONGEST
-    # single request — not the global step count
     max_stop = int(np.max(requests["stop_lens"]))
-    c_cap = tpre + max_stop + 1
-    cache = tuple(
-        jnp.zeros((p.shape[0], b, c_cap) + p.shape[3:], p.dtype)
-        .at[:, :, :tpre].set(p)
-        for p in parts
-    )
-    state = (
-        cache,
-        logits,
-        jnp.zeros((b, cap_steps), jnp.int32),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((b,), bool),
-        jnp.full((b,), eos_like, jnp.int32),
-        jnp.zeros((b,), jnp.int32),  # start_t
-        pre_valid,
-        take("x_lens", first),
-        take("prompt_lens", first),
-        take("stop_lens", first),
-        rng,
+    assert max_stop < cap_steps, (
+        f"cap_steps={cap_steps} cannot finish a stop_lens={max_stop} request"
     )
 
-    slot_req = {i: int(first[i]) for i in range(len(first))}
-    next_req = len(first)
+    def _fresh_state(ridx_real: np.ndarray, key: jax.Array):
+        """Build a full state over ``ridx_real`` requests (padded to ``b``
+        with rows whose stop_lens=1, which finish at the first step and
+        become free slots; they are never registered in slot_req)."""
+        n = len(ridx_real)
+        ridx = np.zeros((b,), np.int64)
+        ridx[:n] = ridx_real
+        stop = np.asarray(requests["stop_lens"][ridx], np.int32).copy()
+        stop[n:] = 1
+        logits, parts, pre_valid = _prefill_parts(
+            model, variables, take("x", ridx), take("x_lens", ridx),
+            take("prompts", ridx), take("prompt_lens", ridx),
+        )
+        tpre = pre_valid.shape[1]
+        # fixed capacity: every slot's generated region is
+        # [tpre, tpre+own_len] (per-slot write columns), so the cache need
+        # only hold the LONGEST single request — not the global step count
+        c_cap = tpre + max_stop + 1
+        cache = tuple(
+            jnp.zeros((p.shape[0], b, c_cap) + p.shape[3:], p.dtype)
+            .at[:, :, :tpre].set(p)
+            for p in parts
+        )
+        state = (
+            cache,
+            logits,
+            jnp.zeros((b, cap_steps), jnp.int32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((b,), bool),
+            jnp.full((b,), eos_like, jnp.int32),
+            jnp.zeros((b,), jnp.int32),  # start_t
+            pre_valid,
+            take("x_lens", ridx),
+            take("prompt_lens", ridx),
+            jnp.asarray(stop),
+            key,
+        )
+        return state, tpre, {i: int(ridx_real[i]) for i in range(n)}
+
+    state, tpre, slot_req = _fresh_state(
+        np.arange(min(b, r_total)), rng
+    )
+    next_req = len(slot_req)
     harvested: Dict[int, Dict] = {}
     seg_kwargs = dict(tpre=tpre, top_k=top_k, top_p=top_p,
                       temperature=temperature, forbid_eos=forbid_eos)
@@ -258,7 +272,6 @@ def serve_continuous(
         gen_len = np.asarray(state[5])
         start_t = np.asarray(state[6])
         tokens_host = None
-        free_slots = []
         for s_i in list(slot_req):
             if finished[s_i]:
                 if tokens_host is None:
@@ -269,11 +282,17 @@ def serve_continuous(
                     "tokens": tokens_host[s_i, st : st + L].copy(),
                     "length": L,
                 }
-                free_slots.append(s_i)
-        # admit while there is queue, a free slot, and room to finish
+        # every slot not serving a live request (just-harvested rows AND
+        # padding rows from a partial fresh state) is admissible
+        free_slots = [i for i in range(b) if i not in slot_req]
+        # admit while there is queue, a free slot, and room to finish:
+        # a slot admitted at t_now with stop s is marked finished by the
+        # body executing at global step t_now + s, and the last body
+        # execution is at cap_steps - 1 — hence the strict <.
         admissions = []
         while (free_slots and next_req < r_total
-               and t_now + max_stop <= cap_steps):
+               and t_now + int(requests["stop_lens"][next_req])
+               < cap_steps):
             s_i = free_slots.pop()
             admissions.append((s_i, next_req))
             slot_req[s_i] = next_req
@@ -291,8 +310,18 @@ def serve_continuous(
                     take("prompts", ridx), take("prompt_lens", ridx),
                     take("stop_lens", ridx),
                 )
-        if not slot_req:  # every slot drained and nothing left to admit
-            break
+        if not slot_req:
+            if next_req >= r_total:
+                break  # every slot drained and nothing left to admit
+            # the remaining step budget blocked admission while requests
+            # were still queued: restart with a fresh state (global step
+            # back to 0) over the remaining queue instead of silently
+            # dropping it
+            nxt = np.arange(next_req, min(next_req + b, r_total))
+            key = state[11]
+            state, tpre, slot_req = _fresh_state(nxt, key)
+            next_req = int(nxt[-1]) + 1
+            seg_end = 0
         if seg_end >= cap_steps:
             raise RuntimeError(
                 f"cap_steps={cap_steps} exhausted with "
@@ -322,4 +351,5 @@ def serve_continuous(
         for j, r_i in enumerate(grp):
             L = int(lens[j])
             results[r_i] = {"codes": codes[j, :L], "length": L}
+    assert all(r is not None for r in results), "scheduler dropped a request"
     return results
