@@ -91,10 +91,18 @@ def load_model_params(path: str, cfg, variant: str, use_averaged=False):
             sd = sd["model"]
         sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
         return jax.tree.map(jnp.asarray, convert_state_dict(sd, cfg, variant))
-    # orbax checkpoint dir saved by our trainer
+    # orbax checkpoint dir saved by our trainer.  Restore every leaf as a
+    # plain numpy array: the checkpoint may have been written from a
+    # DIFFERENT device topology (e.g. trained on an 8-chip mesh, inferred
+    # on one chip), and restoring with the saved shardings would fail.
     import orbax.checkpoint as ocp
 
-    restored = ocp.StandardCheckpointer().restore(p.absolute())
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(p.absolute()).item_metadata
+    restore_args = jax.tree.map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree
+    )
+    restored = ckptr.restore(p.absolute(), restore_args=restore_args)
     if use_averaged:
         avg = restored.get("model_avg")
         assert avg is not None, (

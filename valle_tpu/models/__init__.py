@@ -44,6 +44,8 @@ def add_model_arguments(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--prepend-bos", type=str2bool, default=False)
     parser.add_argument("--num-quantizers", type=int, default=8)
     parser.add_argument("--scaling-xformers", type=str2bool, default=False)
+    parser.add_argument("--dropout", type=float, default=0.1,
+                        help="attention/FFN dropout (0 for overfit runs)")
     parser.add_argument("--dtype", type=str, default="float32")
     parser.add_argument("--attn-impl", type=str, default="xla",
                         help="xla | fused | flash | flash_kp.  Measured "
@@ -72,6 +74,7 @@ def config_from_args(args) -> ModelConfig:
         prepend_bos=args.prepend_bos,
         num_quantizers=args.num_quantizers,
         scaling_xformers=args.scaling_xformers,
+        dropout=getattr(args, "dropout", 0.1),
         dtype=getattr(args, "dtype", "float32"),
         attn_impl=getattr(args, "attn_impl", "xla"),
         kv_cache_dtype=getattr(args, "kv_cache_dtype", "model"),

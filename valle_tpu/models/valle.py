@@ -727,8 +727,13 @@ class VALLE(nn.Module):
         bias: jnp.ndarray,
         memory: Optional[jnp.ndarray] = None,
         memory_bias: Optional[jnp.ndarray] = None,
+        kv_lengths: Optional[jnp.ndarray] = None,
     ):
-        """One decode step: tok (B, 1) -> (logits (B, V+1), updated cache)."""
+        """One decode step: tok (B, 1) -> (logits (B, V+1), updated cache).
+
+        ``kv_lengths`` (B,) routes the cache read through the ragged Pallas
+        decode kernel (per-slot length-clipped KV reads; finished slots with
+        length 0 read nothing) — see ops/ragged_decode.py."""
         emb = self._ar_audio(tok, True, positions=positions)
         dec, new_cache, _ = self.ar_decoder(
             emb,
@@ -737,6 +742,7 @@ class VALLE(nn.Module):
             memory=memory,
             memory_bias=memory_bias,
             cache_index=cache_index,
+            kv_lengths=kv_lengths,
             deterministic=True,
         )
         return self.ar_predict_layer(dec[:, 0]), new_cache

@@ -37,6 +37,23 @@ def quantize_kv(x: jnp.ndarray):
     return jnp.clip(q, -127, 127).astype(jnp.int8), scale
 
 
+def _ragged_decode(q, k, v, kv_lengths, attn_bias, ks=None, vs=None):
+    """Route a Tq=1 decode read through the ragged Pallas kernel; slot b
+    reads KV columns [0, kv_lengths[b]) only (ops/ragged_decode.py)."""
+    from valle_tpu.ops.ragged_decode import ragged_decode_attention
+
+    bias_row = None
+    if attn_bias is not None:
+        # decode biases are per-column: (B, 1, 1, C) -> (B, C)
+        bias_row = jnp.broadcast_to(
+            attn_bias, attn_bias.shape[:1] + (1, 1) + attn_bias.shape[-1:]
+        )[:, 0, 0, :]
+    return ragged_decode_attention(
+        q, k, v, kv_lengths, bias_row, ks, vs,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
 def _decode_attention_quantized(q, k8, v8, ks, vs, attn_bias):
     """Single-query attention over an int8 cache.
 
@@ -74,6 +91,7 @@ class MultiheadAttention(nn.Module):
         deterministic: bool = True,
         kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        kv_lengths: Optional[jnp.ndarray] = None,
         return_kv: bool = False,
     ):
         """Args:
@@ -83,6 +101,11 @@ class MultiheadAttention(nn.Module):
           kv_cache: optional (k, v) of shape (B, Tmax, H, Dh); when given with
             ``cache_index``, the freshly projected K/V (length Tq) are written
             at that offset and attention runs over the full cache.
+          kv_lengths: optional (B,) per-slot live cache lengths — routes the
+            decode read (Tq=1, stacked cache) through the ragged Pallas
+            kernel (ops/ragged_decode.py) so slot b reads only columns
+            [0, kv_lengths[b]); a 0 length (finished slot) reads nothing and
+            yields zeros.  None keeps the dense XLA read.
           return_kv: also return the projected (k, v) for cache prefill.
 
         Returns (out, new_cache_or_None, kv_or_None).
@@ -149,9 +172,15 @@ class MultiheadAttention(nn.Module):
                 vs = jax.lax.dynamic_update_slice(vs, v_sc[None], (li, 0, idx, 0))
             new_cache = (kc, vc, ks, vs)
             take = lambda c: jax.lax.dynamic_index_in_dim(c, li, 0, keepdims=False)
-            out = _decode_attention_quantized(
-                q, take(kc), take(vc), take(ks), take(vs), attn_bias
-            )
+            if kv_lengths is not None:
+                out = _ragged_decode(
+                    q, take(kc), take(vc), kv_lengths, attn_bias,
+                    take(ks), take(vs),
+                ).astype(q.dtype)
+            else:
+                out = _decode_attention_quantized(
+                    q, take(kc), take(vc), take(ks), take(vs), attn_bias
+                )
             out = out.reshape(b, tq, d)
             okw = (
                 {}
@@ -186,6 +215,21 @@ class MultiheadAttention(nn.Module):
             new_cache = (kc, vc)
             k_att = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
             v_att = jax.lax.dynamic_index_in_dim(vc, li, 0, keepdims=False)
+            if kv_lengths is not None:
+                out = _ragged_decode(
+                    q, k_att, v_att, kv_lengths, attn_bias
+                ).astype(q.dtype)
+                out = out.reshape(b, tq, d)
+                okw = (
+                    {}
+                    if self.out_kernel_init is None
+                    else {"kernel_init": self.out_kernel_init}
+                )
+                out = QDense(
+                    d, use_bias=self.bias, dtype=self.dtype,
+                    act_quant=self.act_quant, name="out_proj", **okw,
+                )(out)
+                return out, new_cache, None
         elif kv_cache is not None:
             ck, cv = kv_cache
             idx = jnp.asarray(0 if cache_index is None else cache_index, jnp.int32)

@@ -132,6 +132,7 @@ class TransformerLayer(nn.Module):
         memory,
         memory_bias,
         cache_index,
+        kv_lengths=None,
     ):
         deterministic = self.deterministic
         carry_cache = isinstance(carry, tuple)
@@ -202,6 +203,7 @@ class TransformerLayer(nn.Module):
                 deterministic=deterministic,
                 kv_cache=kv_cache,
                 cache_index=cache_index,
+                kv_lengths=kv_lengths,
                 return_kv=self.return_kv,
             )
             out = drop(name="sa_drop")(out, deterministic=deterministic)
@@ -279,6 +281,7 @@ class TransformerStack(nn.Module):
         memory=None,
         memory_bias=None,
         cache_index=None,
+        kv_lengths=None,
         deterministic: bool = True,
         return_kv: bool = False,
     ):
@@ -303,6 +306,7 @@ class TransformerStack(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=(
                 0,
+                nn.broadcast,
                 nn.broadcast,
                 nn.broadcast,
                 nn.broadcast,
@@ -343,6 +347,7 @@ class TransformerStack(nn.Module):
                 memory,
                 memory_bias,
                 cache_index,
+                kv_lengths,
             )
             new_cache, kv = tuple(new_leaves), None
         else:
@@ -350,7 +355,8 @@ class TransformerStack(nn.Module):
                 # nn.scan requires a scanned input; feed a dummy per-layer zero.
                 kv_cache = jnp.zeros((self.num_layers,), dtype=jnp.int32)
             x, (new_cache, kv) = layer(
-                x, kv_cache, stage_emb, attn_bias, memory, memory_bias, cache_index
+                x, kv_cache, stage_emb, attn_bias, memory, memory_bias,
+                cache_index, kv_lengths,
             )
         if self.final_norm and self.norm_first:
             x = ConditionedNorm(

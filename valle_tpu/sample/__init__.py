@@ -107,6 +107,7 @@ def _prefill_kv(model, variables, x, x_lens, prompt_codes, prompt_lens):
         "temperature",
         "max_new_tokens",
         "forbid_eos",
+        "ragged_decode",
     ),
 )
 def generate(
@@ -126,6 +127,7 @@ def generate(
     stop_lens: Optional[jnp.ndarray] = None,
     nar_text: Optional[jnp.ndarray] = None,
     nar_text_lens: Optional[jnp.ndarray] = None,
+    ragged_decode: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Batched zero-shot TTS generation.
 
@@ -141,6 +143,11 @@ def generate(
       nar_text / nar_text_lens: text for the NAR passes when it differs from
         ``x`` (prefix modes 2/4 drop the enrolled phonemes,
         ref valle.py:1068-1079).
+      ragged_decode: route each decode step's cache read through the ragged
+        Pallas kernel (ops/ragged_decode.py): finished slots read NOTHING
+        (length 0), live slots read exactly [0, tpre + t + 1).  On mixed-
+        length traffic this removes the early-exit read waste the dense
+        path pays until the whole batch drains.
 
     Returns {"codes": (B, max_new, Q) int32, "lengths": (B,) int32}.
     """
@@ -254,6 +261,11 @@ def generate(
         bias = mask_ops.mask_to_bias(
             jnp.logical_not(step_valid)[:, None, None, :], jnp.float32
         )
+        kv_lengths = None
+        if ragged_decode:
+            # finished slots read nothing (their sampled output is forced to
+            # EOS and discarded); live slots read [0, tpre + t] inclusive
+            kv_lengths = jnp.where(finished, 0, tpre + t + 1).astype(jnp.int32)
         logits2, new_cache = model.apply(
             variables,
             tok[:, None],
@@ -263,6 +275,7 @@ def generate(
             bias,
             memory,
             mem_bias,
+            kv_lengths=kv_lengths,
             method="ar_decode_step",
         )
         return (

@@ -108,11 +108,11 @@ def _admit(model, variables, state, slots, x, x_lens, prompts, plens,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "tpre", "top_k", "top_p", "temperature",
-                     "forbid_eos"),
+                     "forbid_eos", "ragged_decode"),
     donate_argnums=(2,),
 )
 def _segment(model, variables, state, seg_end, *, tpre, top_k, top_p,
-             temperature, forbid_eos=False):
+             temperature, forbid_eos=False, ragged_decode=False):
     """Run the AR loop to ``seg_end`` (or until every slot is finished)."""
     cfg = model.cfg
     eos = cfg.eos_id
@@ -169,10 +169,17 @@ def _segment(model, variables, state, seg_end, *, tpre, top_k, top_p,
         bias = mask_ops.mask_to_bias(
             jnp.logical_not(step_valid)[:, None, None, :], jnp.float32
         )
+        kv_lengths = None
+        if ragged_decode:
+            # per-slot ragged reads: a slot reads exactly its OWN live region
+            # [0, tpre + own_c]; finished slots read nothing
+            kv_lengths = jnp.where(
+                finished, 0, tpre + own_c + 1
+            ).astype(jnp.int32)
         logits2, new_cache = model.apply(
             variables, tok[:, None], positions, cache,
             (tpre + own_c).astype(jnp.int32), bias,
-            None, None, method="ar_decode_step",
+            None, None, kv_lengths=kv_lengths, method="ar_decode_step",
         )
         return (
             tuple(new_cache), logits2, tokens, t + 1, finished, gen_len,
@@ -197,6 +204,7 @@ def serve_continuous(
     temperature: float = 1.0,
     forbid_eos: bool = False,
     nar_bucket: int = 512,
+    ragged_decode: bool = False,
 ) -> List[Dict[str, np.ndarray]]:
     """Serve ``requests`` (any R >= 1) with slot refill.
 
@@ -261,7 +269,8 @@ def serve_continuous(
     next_req = len(slot_req)
     harvested: Dict[int, Dict] = {}
     seg_kwargs = dict(tpre=tpre, top_k=top_k, top_p=top_p,
-                      temperature=temperature, forbid_eos=forbid_eos)
+                      temperature=temperature, forbid_eos=forbid_eos,
+                      ragged_decode=ragged_decode)
 
     seg_end = chunk
     while True:
