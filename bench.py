@@ -43,8 +43,9 @@ from valle_tpu.utils.flops import chip_peak_flops, train_step_flops
 
 
 def _build_generate(batch=128, nq=8, attn_impl="xla", kv="int8", max_new=512,
-                    quant="none"):
-    """quant: "none" | "w8" (int8 weights) | "w8a8" (+dynamic act quant)."""
+                    quant="none", ragged=False):
+    """quant: "none" | "w8" (int8 weights) | "w8a8" (+dynamic act quant).
+    ragged: per-slot length-clipped decode reads (ops/ragged_decode.py)."""
     from valle_tpu.models import ModelConfig, VALLE
     from valle_tpu.sample import generate
 
@@ -77,19 +78,20 @@ def _build_generate(batch=128, nq=8, attn_impl="xla", kv="int8", max_new=512,
         return generate(model, variables, key, x, x_lens, prompt,
                         top_k=10, temperature=1.0, max_new_tokens=max_new,
                         forbid_eos=True,  # full-length decode (no lucky EOS)
-                        stop_lens=stop_lens)
+                        stop_lens=stop_lens, ragged_decode=ragged)
 
     return run
 
 
 def bench_generate(batch=256, nq=8, attn_impl="xla", kv="int8",
                    iters=3, max_new=512, label=None, quant="none",
-                   realistic_mix=False):
+                   realistic_mix=False, ragged=False):
     """Default B=256: amortizes the per-step weight read over more sequences
     (measured 174 vs 157 audio-s/s at B=128, docs/perf_notes.md)."""
     from valle_tpu import macros
 
-    run = _build_generate(batch, nq, attn_impl, kv, max_new, quant)
+    run = _build_generate(batch, nq, attn_impl, kv, max_new, quant,
+                          ragged=ragged)
     stop_lens = None
     if realistic_mix:
         # mixed-length traffic: per-seq EOS-equivalent stops, 2-6.8 s audio
@@ -241,7 +243,7 @@ def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1,
     Returns {audio_frames_per_s, tokens_per_s, step_time_s, mfu}.
     """
     from valle_tpu.models import ModelConfig, VALLE
-    from valle_tpu.optim import eden_lr, scaled_adam
+    from valle_tpu.optim import eden_lr, scaled_adam, valle_batched_axis
     from valle_tpu.train.step import init_train_state, make_train_step
 
     # Measured round-3 winners (docs/perf_notes.md): the custom fused Pallas
@@ -254,7 +256,8 @@ def bench_train(accum=4, batch=8, s=128, t=752, iters=5, train_stage=1,
         cfg_overrides.setdefault("prefix_mode", 4)
     cfg = ModelConfig(dtype=dtype, **cfg_overrides)
     model = VALLE(cfg)
-    tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0)
+    tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0,
+                     batched_axis_fn=valle_batched_axis)
 
     rng = jax.random.PRNGKey(0)
     batch_arrays = {
@@ -390,6 +393,17 @@ if __name__ == "__main__":
             bench_generate(quant=qm, label=f"quant={qm} (B=256)")
     elif mode == "train":
         print(json.dumps(bench_train()))
+    elif mode == "ragged_ab":
+        # ragged decode kernel A/B at the headline serving config: on
+        # fixed-512 traffic (pure overhead check — no length spread to
+        # exploit) and the gen_mix distribution (the intended win: finished
+        # slots read nothing until the batch drains)
+        bench_generate(quant="w8a8", label="dense  fixed-512")
+        bench_generate(quant="w8a8", ragged=True, label="ragged fixed-512")
+        bench_generate(quant="w8a8", realistic_mix=True,
+                       label="dense  gen_mix")
+        bench_generate(quant="w8a8", realistic_mix=True, ragged=True,
+                       label="ragged gen_mix")
     elif mode == "gen_mix":
         # Realistic-length traffic. Rows:
         #   1. worst-case fixed-512 (the headline lower bound)
@@ -685,14 +699,15 @@ if __name__ == "__main__":
         # Attribute the 0.425 s AR train step: forward loss only, forward +
         # backward (grads, accum scan), and the ScaledAdam update alone.
         from valle_tpu.models import ModelConfig, VALLE
-        from valle_tpu.optim import eden_lr, scaled_adam
+        from valle_tpu.optim import eden_lr, scaled_adam, valle_batched_axis
         from valle_tpu.train.state import partition_params
         from valle_tpu.train.step import init_train_state, make_train_step
 
         accum, b, s, t = 4, 8, 128, 752
         cfg = ModelConfig(dtype="bfloat16", attn_impl="fused", remat="none")
         model = VALLE(cfg)
-        tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0)
+        tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0,
+                     batched_axis_fn=valle_batched_axis)
         rng = jax.random.PRNGKey(0)
         batch = {
             "text_tokens": jax.random.randint(rng, (accum, b, s), 0,
@@ -994,7 +1009,7 @@ if __name__ == "__main__":
         ))(rng)
 
         # ---- baseline: bucket scheme, 4 sequential full batches ----------
-        def run_bucket(key):
+        def run_bucket(key, ragged=False):
             total = 0
             for i in range(R // B):
                 sl = jnp.asarray(stops[i * B : (i + 1) * B], jnp.int32)
@@ -1003,47 +1018,48 @@ if __name__ == "__main__":
                     x[i * B : (i + 1) * B], jnp.asarray(x_lens[:B]),
                     prompts[i * B : (i + 1) * B], jnp.asarray(plens[:B]),
                     top_k=10, max_new_tokens=max_new, forbid_eos=True,
-                    stop_lens=sl,
+                    stop_lens=sl, ragged_decode=ragged,
                 )
                 total += int(np.asarray(out["lengths"]).sum())
             return total
 
-        _ = run_bucket(jax.random.PRNGKey(1))  # compile + warmup
-        t0 = time.perf_counter()
-        total = run_bucket(jax.random.PRNGKey(2))
-        dt_bucket = time.perf_counter() - t0
-        thr_b = total / macros.AUDIO_FRAME_RATE / dt_bucket
-        print(f"bucket scheme (4 x B=128): {dt_bucket:.2f}s  "
-              f"{thr_b:.1f} audio-s/s", file=sys.stderr, flush=True)
-
-        # ---- continuous: slot refill over the same 512 requests ----------
         reqs = {"x": np.asarray(x), "x_lens": x_lens,
                 "prompts": np.asarray(prompts), "prompt_lens": plens,
                 "stop_lens": stops.astype(np.int32)}
 
-        def run_cont(key):
+        def run_cont(key, ragged=False):
             out = serve_continuous(
                 model, variables, key, reqs, batch_size=B,
                 cap_steps=2048, chunk=128, admit_width=32, top_k=10,
-                forbid_eos=True, nar_bucket=max_new,
+                forbid_eos=True, nar_bucket=max_new, ragged_decode=ragged,
             )
             return sum(o["length"] for o in out)
 
-        _ = run_cont(jax.random.PRNGKey(1))  # compile + warmup
-        t0 = time.perf_counter()
-        total_c = run_cont(jax.random.PRNGKey(2))
-        dt_cont = time.perf_counter() - t0
-        thr_c = total_c / macros.AUDIO_FRAME_RATE / dt_cont
-        print(f"continuous (B=128 slots, refill): {dt_cont:.2f}s  "
-              f"{thr_c:.1f} audio-s/s  ({100 * (thr_c / thr_b - 1):+.1f}% "
-              f"vs bucket)", file=sys.stderr, flush=True)
+        thr_b = None
+        for label, fn, ragged in (
+            ("bucket scheme (4 x B=128), dense", run_bucket, False),
+            ("bucket scheme (4 x B=128), RAGGED", run_bucket, True),
+            ("continuous (B=128 slots, refill), dense", run_cont, False),
+            ("continuous (B=128 slots, refill), RAGGED", run_cont, True),
+        ):
+            _ = fn(jax.random.PRNGKey(1), ragged)  # compile + warmup
+            t0 = time.perf_counter()
+            total = fn(jax.random.PRNGKey(2), ragged)
+            dt = time.perf_counter() - t0
+            thr = total / macros.AUDIO_FRAME_RATE / dt
+            vs = "" if thr_b is None else (
+                f"  ({100 * (thr / thr_b - 1):+.1f}% vs dense bucket)")
+            if thr_b is None:
+                thr_b = thr
+            print(f"{label}: {dt:.2f}s  {thr:.1f} audio-s/s{vs}",
+                  file=sys.stderr, flush=True)
     elif mode == "nar_dtype_parity":
         # Recipe decision evidence (VERDICT r3 #4): overfit a fixed tiny
         # corpus with the stage-2 NAR recipe in fp32 vs bf16 (params stay
         # f32; dtype is the compute/activation precision) and overlay the
         # loss curves.  Flagship dims, 2 fixed batches alternated, 120 steps.
         from valle_tpu.models import ModelConfig, VALLE
-        from valle_tpu.optim import eden_lr, scaled_adam
+        from valle_tpu.optim import eden_lr, scaled_adam, valle_batched_axis
         from valle_tpu.train.step import init_train_state, make_train_step
 
         accum, b, s, t, p = 4, 4, 128, 752, 225
@@ -1065,7 +1081,8 @@ if __name__ == "__main__":
             cfg = ModelConfig(dtype=dtype, attn_impl="fused", remat="none",
                               prefix_mode=4)
             model = VALLE(cfg)
-            tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0)
+            tx = scaled_adam(learning_rate=0.05, clipping_scale=2.0,
+                     batched_axis_fn=valle_batched_axis)
             state = init_train_state(
                 model, tx, rng,
                 jax.tree.map(lambda v: v[0], batches[0]), train_stage=2)

@@ -26,7 +26,7 @@ def _ref_scaled_adam(params, lr, clipping_scale):
         clipping_scale=clipping_scale,
         betas=(0.9, 0.95),
         parameters_names=names,
-        show_dominant_parameters=False,
+        show_dominant_parameters=True,
     )
 
 
@@ -54,7 +54,8 @@ def test_scaled_adam_parity(clipping_scale):
     # ours
     jparams = {k: jnp.asarray(v) for k, v in init.items()}
     tx = scaled_adam(
-        learning_rate=lr, clipping_scale=clipping_scale, betas=(0.9, 0.95)
+        learning_rate=lr, clipping_scale=clipping_scale, betas=(0.9, 0.95),
+        show_dominant_parameters=True,
     )
     state = tx.init(jparams)
 
@@ -123,3 +124,36 @@ def test_eden_schedule_parity():
             ref_lr = sch.get_last_lr()[0]
             ours = float(eden_lr(0.05, sch.batch, epoch, 5000, 4, 500))
             assert ours == pytest.approx(ref_lr, rel=1e-6), (epoch, sch.batch)
+
+
+def test_dominant_parameter_diagnostic(caplog):
+    """The _show_gradient_dominating_parameter port (ref optim.py:414-483):
+    when the clip factor drops below 0.1, the transformation logs the
+    parameter contributing the largest share of tot_sumsq."""
+    import logging
+
+    rng = np.random.RandomState(0)
+    params = {
+        "big": jnp.asarray(rng.randn(16, 8).astype(np.float32)),
+        "small": jnp.asarray(rng.randn(8).astype(np.float32)),
+    }
+    tx = scaled_adam(
+        learning_rate=0.03, clipping_scale=2.0,
+        clipping_update_period=4, show_dominant_parameters=True,
+    )
+    state = tx.init(params)
+
+    def step(params, state, scale):
+        grads = jax.tree.map(lambda p: jnp.ones_like(p) * scale, params)
+        updates, state = tx.update(grads, state, params)
+        return jax.tree.map(lambda p, u: p + u, params, updates), state
+
+    with caplog.at_level(logging.INFO):
+        for _ in range(8):  # establish the norm history / threshold
+            params, state = step(params, state, 0.01)
+        assert not any("Dominating" in r.message for r in caplog.records)
+        params, state = step(params, state, 1e4)  # clip << 0.1 now
+        jax.effects_barrier()
+    msgs = [r.message for r in caplog.records if "Dominating" in r.message]
+    assert msgs, "severe clipping must log the dominant parameter"
+    assert "big" in msgs[0], msgs[0]

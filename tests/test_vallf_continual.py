@@ -78,8 +78,47 @@ def test_continual_parity(prefix_mode):
     out = continual(
         model, variables, jnp.asarray(x), jnp.asarray(x_lens), jnp.asarray(y)
     )
-    got = np.asarray(out["codes"][0])
+    L = int(out["lengths"][0])
+    got = np.asarray(out["codes"][0, :L])
     assert got.shape == ref_codes[0].shape, (got.shape, ref_codes.shape)
     np.testing.assert_array_equal(got[:, 0], ref_codes[0, :, 0])
     mismatch = (got[:, 1:] != ref_codes[0, :, 1:]).mean()
     assert mismatch < 0.02, mismatch
+
+
+@pytest.mark.parametrize("prefix_mode", [0, 1])
+def test_continual_ragged_batch(prefix_mode):
+    """Per-sequence prefix semantics: in a padded batch, each row's
+    min(len/2, 225) split must come from ITS OWN length — every row of a
+    ragged batch must match the same sequence run at batch 1 (where the
+    padded and true lengths coincide, the reference's setting)."""
+    _, model, variables = _setup("valle", prefix_mode, seed=2)
+    rng = np.random.RandomState(2)
+    S = 5
+    t_pad = 48
+    true_lens = [48, 30, 17]
+    x = rng.randint(0, 512, (3, S)).astype(np.int64)
+    x_lens = np.array([S, S, S], np.int64)
+    y = rng.randint(0, 1024, (3, t_pad, Q)).astype(np.int64)
+    for i, L in enumerate(true_lens):
+        y[i, L:] = 0
+
+    batched = continual(
+        model, variables, jnp.asarray(x), jnp.asarray(x_lens),
+        jnp.asarray(y), jnp.asarray(true_lens, dtype=jnp.int32),
+    )
+    for i, L in enumerate(true_lens):
+        single = continual(
+            model, variables, jnp.asarray(x[i : i + 1]),
+            jnp.asarray(x_lens[i : i + 1]), jnp.asarray(y[i : i + 1, :L]),
+        )
+        lb = int(batched["lengths"][i])
+        ls = int(single["lengths"][0])
+        assert lb == ls == L - min(L // 2, 225), (i, lb, ls)
+        got_b = np.asarray(batched["codes"][i, :lb])
+        got_s = np.asarray(single["codes"][0, :ls])
+        # codebook 1 is copied input (exact); NAR stages see different
+        # padded widths, so allow rare argmax flips at ties
+        np.testing.assert_array_equal(got_b[:, 0], got_s[:, 0])
+        mismatch = (got_b[:, 1:] != got_s[:, 1:]).mean()
+        assert mismatch < 0.05, (i, mismatch)

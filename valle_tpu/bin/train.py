@@ -95,8 +95,14 @@ def get_parser():
 def make_optimizer(args):
     name = args.optimizer_name
     if name == "ScaledAdam":
+        from valle_tpu.optim import valle_batched_axis
+
+        # batched_axis_fn: nn.scan-stacked layer leaves and the stacked NAR
+        # embedding tables get per-slice rms/size stats, matching the
+        # reference's per-tensor optimizer state (ref optim.py:504-596)
         return scaled_adam(
-            learning_rate=args.base_lr, clipping_scale=2.0, betas=(0.9, 0.95)
+            learning_rate=args.base_lr, clipping_scale=2.0,
+            betas=(0.9, 0.95), batched_axis_fn=valle_batched_axis,
         ), None
     if name == "Eve":
         return eve(learning_rate=args.base_lr, betas=(0.9, 0.98),

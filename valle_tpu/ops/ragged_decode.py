@@ -96,21 +96,22 @@ def _kernel(
 
     @pl.when(c * bc < length)
     def _block():
-        k_blk = k_ref[0].reshape(bc, hd).astype(jnp.float32)
+        # bf16 MXU inputs (f32 dots run as multi-pass emulation); f32 accum
+        k_blk = k_ref[0].reshape(bc, hd).astype(jnp.bfloat16)
         scale = 1.0 / (dh ** 0.5)
         scores = jax.lax.dot_general(
             k_blk,
-            qmat_ref[:],
+            qmat_ref[:].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (BC, H)
         if quantized:
             scores = scores * ks_ref[0]  # (BC, H) per-(token, head) K scale
         # additive bias (prefix-padding holes) + hard length clip; the bias
-        # arrives TRANSPOSED (C, B) so its block is (bc, 1) sublane-major —
-        # no in-kernel relayout
+        # arrives as (B, C, 1) so its block is (bc, 1) sublane-major — no
+        # in-kernel relayout
         col = c * bc + jax.lax.broadcasted_iota(jnp.int32, (bc, 1), 0)
-        scores = scores + bias_ref[:]  # (bc, 1)
+        scores = scores + bias_ref[0]  # (bc, 1)
         scores = jnp.where(col < length, scores, _NEG * 2.0)
 
         m_prev = m_ref[:]  # (1, H)
@@ -120,11 +121,11 @@ def _kernel(
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
         if quantized:
             p = p * vs_ref[0]  # V scale folds into the probs
-        v_blk = v_ref[0].reshape(bc, hd).astype(jnp.float32)
+        v_blk = v_ref[0].reshape(bc, hd).astype(jnp.bfloat16)
         # acc (HD, H): rows = flattened head*dh output dims, cols = head
         pv = jax.lax.dot_general(
             v_blk,
-            p,
+            p.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (HD, H)
@@ -213,9 +214,6 @@ def ragged_decode_attention(
     def clamp_map3(i, c, lens):
         return (i, jnp.minimum(c, live_last(lens, i)), 0)
 
-    def bias_map(i, c, lens):  # bias is transposed (C, B)
-        return (jnp.minimum(c, live_last(lens, i)), i)
-
     scale_spec = pl.BlockSpec(
         (1, bc, h) if quantized else (1, 1, h),
         clamp_map3 if quantized else (lambda i, c, lens: (i, 0, 0)),
@@ -229,7 +227,7 @@ def ragged_decode_attention(
             pl.BlockSpec((1, bc, h * dh), clamp_map3),
             scale_spec,
             scale_spec,
-            pl.BlockSpec((bc, 1), bias_map),
+            pl.BlockSpec((1, bc, 1), clamp_map3),
         ],
         out_specs=pl.BlockSpec((1, h, dh), lambda i, c, lens: (i, 0, 0)),
         scratch_shapes=[
@@ -255,6 +253,9 @@ def ragged_decode_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, dh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(
         lengths,
@@ -263,7 +264,7 @@ def ragged_decode_attention(
         v.reshape(b, cap_pad, h * dh),
         k_scale,
         v_scale,
-        jnp.transpose(bias, (1, 0)),  # (C, B): per-column sublane-major
+        bias.reshape(b, cap_pad, 1),  # block (bc, 1): sublane-major columns
     )
     return out[:, None] if squeeze else out
 

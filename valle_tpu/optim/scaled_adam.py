@@ -9,16 +9,32 @@ Math parity with the reference icefall ScaledAdam
     whole-model norms (ref :316-412)
   - scalar parameters use plain Adam with ``scalar_lr_scale`` and clamping
     (ref :639-662)
+  - ``_show_gradient_dominating_parameter`` observability (ref :414-483)
 
-The reference's batched-parameter stacking trick (ref optim.py:29-126) exists
-to reduce CUDA kernel launches; under XLA everything fuses anyway, so we keep
-only the math, expressed as tree_maps over the params pytree.  The learning
-rate is dynamic (pass per step), so epoch-dependent schedules like Eden work.
+The reference's batched-parameter stacking trick (ref optim.py:29-126)
+exists to reduce CUDA kernel launches; under XLA everything fuses anyway,
+so we keep only the math, expressed as tree_maps over the params pytree.
+
+**Stacked parameters** (``batched_axis_fn``): our transformer stack is one
+``nn.scan`` module with (L, ...) stacked leaves, and the NAR codebook /
+stage embeddings are stacked tables — whereas the reference holds L (resp.
+Q-1) SEPARATE tensors, each with its own param_rms and size update.
+Treating a stacked leaf as one tensor silently changes the optimizer (one
+shared rms across layers — measured as a 0.2% loss divergence right after
+the first size update in the trajectory-parity test).  When
+``batched_axis_fn(path_segments)`` returns True, dim 0 of that leaf is
+treated as a batch of independent tensors: rms / size stats are computed
+per slice, exactly like the reference's per-tensor state inside its
+batches; a 1-D batched leaf is a batch of scalars and routes to the scalar
+Adam (ref ``p.numel() == p.shape[0]``, optim.py:504-525).
+
+The learning rate is dynamic (pass per step), so epoch-dependent schedules
+like Eden work.
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,15 +45,27 @@ class ScaledAdamState(NamedTuple):
     step: jnp.ndarray  # int32 scalar
     delta: Any  # momentum buffer, per param
     exp_avg_sq: Any  # second moment, per param
-    param_rms: Any  # (*,) -> scalar rms per tensor (non-scalars)
+    param_rms: Any  # per-tensor scalar rms, or (n,1,..,1) for batched leaves
     scale_exp_avg_sq: Any
-    scale_grads: Any  # (size_update_period,) history per tensor
+    scale_grads: Any  # (size_update_period, *stat_shape) history per tensor
     model_norms: jnp.ndarray  # (clipping_update_period,)
     norm_threshold: jnp.ndarray  # scalar, inf until first estimate
 
 
-def _is_scalar(p) -> bool:
-    return p.size == 1
+def valle_batched_axis(path_segments) -> bool:
+    """Default stacked-leaf predicate for this framework's models: nn.scan
+    layer stacks (a ``layers`` path segment) and the stacked NAR embedding /
+    stage tables, which the reference holds as separate tensors."""
+    return (
+        "layers" in path_segments
+        or path_segments[-1] in (
+            "nar_audio_embeddings_rest", "nar_stage_embeddings"
+        )
+    )
+
+
+def _path_strs(path) -> tuple:
+    return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
 def scaled_adam(
@@ -51,30 +79,61 @@ def scaled_adam(
     scalar_max: float = 10.0,
     size_update_period: int = 4,
     clipping_update_period: int = 100,
+    show_dominant_parameters: bool = True,
+    batched_axis_fn: Optional[Callable[[tuple], bool]] = None,
 ) -> optax.GradientTransformationExtraArgs:
     """Returns a transformation whose ``update`` accepts an optional ``lr``
     extra arg overriding the schedule (used by Eden's epoch dependence)."""
 
     beta1, beta2 = betas
+    sup = size_update_period
+
+    def _kind(path, p):
+        """'scalar' | 'tensor' | 'batched' for a leaf."""
+        if p.size == 1:
+            return "scalar"
+        if batched_axis_fn is not None and batched_axis_fn(_path_strs(path)):
+            return "scalar" if p.ndim == 1 else "batched"
+        return "tensor"
+
+    def _stat_shape(p, kind):
+        # shape of per-leaf rms/size statistics (broadcastable against p)
+        if kind == "batched":
+            return (p.shape[0],) + (1,) * (p.ndim - 1)
+        return ()
+
+    def _red_axes(p, kind):
+        return tuple(range(1, p.ndim)) if kind == "batched" else None
 
     def init_fn(params):
-        def rms(p):
-            return jnp.sqrt(jnp.mean(p.astype(jnp.float32) ** 2))
+        def init_rms(path, p):
+            kind = _kind(path, p)
+            if kind == "scalar":
+                return jnp.zeros(())
+            p32 = p.astype(jnp.float32)
+            return jnp.sqrt(
+                jnp.mean(p32**2, axis=_red_axes(p, kind), keepdims=kind == "batched")
+            )
 
+        tmap = jax.tree_util.tree_map_with_path
         return ScaledAdamState(
             step=jnp.zeros((), jnp.int32),
             delta=jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params),
             exp_avg_sq=jax.tree.map(
                 lambda p: jnp.zeros_like(p, jnp.float32), params
             ),
-            param_rms=jax.tree.map(
-                lambda p: rms(p) if not _is_scalar(p) else jnp.zeros(()), params
+            param_rms=tmap(init_rms, params),
+            scale_exp_avg_sq=tmap(
+                lambda path, p: jnp.zeros(
+                    _stat_shape(p, _kind(path, p)), jnp.float32
+                ),
+                params,
             ),
-            scale_exp_avg_sq=jax.tree.map(
-                lambda p: jnp.zeros((), jnp.float32), params
-            ),
-            scale_grads=jax.tree.map(
-                lambda p: jnp.zeros((size_update_period,), jnp.float32), params
+            scale_grads=tmap(
+                lambda path, p: jnp.zeros(
+                    (sup,) + _stat_shape(p, _kind(path, p)), jnp.float32
+                ),
+                params,
             ),
             model_norms=jnp.zeros((clipping_update_period,), jnp.float32),
             norm_threshold=jnp.asarray(jnp.inf, jnp.float32),
@@ -83,14 +142,19 @@ def scaled_adam(
     def _clipping(grads, state):
         """Whole-model clipping factor (ref optim.py:316-412)."""
         if clipping_scale is None:
-            return jnp.asarray(1.0, jnp.float32), state.model_norms, state.norm_threshold
-        sq = jax.tree.map(
-            lambda g, r: jnp.sum(g.astype(jnp.float32) ** 2)
-            if g.size == 1
-            else jnp.sum((g.astype(jnp.float32) * r) ** 2),
-            grads,
-            state.param_rms,
-        )
+            return (
+                jnp.asarray(1.0, jnp.float32),
+                state.model_norms,
+                state.norm_threshold,
+            )
+
+        def leaf_sq(path, g, r):
+            g32 = g.astype(jnp.float32)
+            if _kind(path, g) == "scalar":
+                return jnp.sum(g32**2)
+            return jnp.sum((g32 * r) ** 2)
+
+        sq = jax.tree_util.tree_map_with_path(leaf_sq, grads, state.param_rms)
         tot_norm = jnp.sqrt(sum(jax.tree.leaves(sq)))
         step = state.step
         cup = clipping_update_period
@@ -113,7 +177,49 @@ def scaled_adam(
         # step == 0: other params' state uninitialized in the reference;
         # clipping returns 1.0 early (ref :352-355)
         clip = jnp.where(step == 0, 1.0, clip)
-        return clip.astype(jnp.float32), model_norms, threshold
+        clip = clip.astype(jnp.float32)
+
+        if show_dominant_parameters:
+            # Parity with _show_gradient_dominating_parameter
+            # (ref optim.py:390-478): when clipping engages severely
+            # (factor < 0.1), log the parameter contributing the largest
+            # share of tot_sumsq.  Pure observability — trajectories are
+            # unaffected; the name lookup happens in a host debug callback
+            # so the hot step stays fused.
+            import logging
+
+            kp = jax.tree_util.tree_flatten_with_path(sq)[0]
+            names = ["/".join(_path_strs(path)) for path, _ in kp]
+            sumsq_vec = jnp.stack([v for _, v in kp])
+            gsq_vec = jnp.stack([
+                jnp.sum(g.astype(jnp.float32) ** 2)
+                for g in jax.tree.leaves(grads)
+            ])
+            rms_vec = jnp.stack([
+                jnp.mean(r) if r.size else jnp.asarray(1.0)
+                for r in jax.tree.leaves(state.param_rms)
+            ])
+            tot = jnp.maximum(jnp.sum(sumsq_vec), 1e-20)
+            idx = jnp.argmax(sumsq_vec)
+
+            def host_log(i, prop, ssq, gsq, rms2, clip_v):
+                logging.info(
+                    f"Parameter Dominating tot_sumsq {names[int(i)]}"
+                    f" with proportion {float(prop):.2f}, where"
+                    f" dominant_sumsq=(grad_sumsq*orig_rms_sq)"
+                    f"={float(ssq):.3e}, grad_sumsq={float(gsq):.3e},"
+                    f" orig_rms_sq={float(rms2):.3e}"
+                    f" (clip factor {float(clip_v):.3f})"
+                )
+
+            def emit():
+                jax.debug.callback(
+                    host_log, idx, sumsq_vec[idx] / tot, sumsq_vec[idx],
+                    gsq_vec[idx], rms_vec[idx] ** 2, clip,
+                )
+
+            jax.lax.cond(clip < 0.1, emit, lambda: None)
+        return clip, model_norms, threshold
 
     def update_fn(grads, state, params=None, *, lr=None, **extra):
         del extra
@@ -129,15 +235,15 @@ def scaled_adam(
 
         clip, model_norms, threshold = _clipping(grads, state)
 
-        sup = size_update_period
-
-        def tensor_update(p, g, delta, eas, prms, seas, sgrads):
+        def tensor_update(path, p, g, delta, eas, prms, seas, sgrads):
+            kind = _kind(path, p)
             p32 = p.astype(jnp.float32)
             g32 = g.astype(jnp.float32) * clip
             delta = delta * beta1
 
-            if _is_scalar(p):
-                # plain Adam (ref :639-662); clamp before add
+            if kind == "scalar":
+                # plain Adam, elementwise — also the reference's "batch of
+                # scalars" route (ref :504-525, :639-662); clamp before add
                 eas = beta2 * eas + (1 - beta2) * g32 * g32
                 bc2 = 1 - beta2 ** (step.astype(jnp.float32) + 1)
                 denom = jnp.sqrt(eas / bc2) + eps
@@ -145,23 +251,34 @@ def scaled_adam(
                     g32 / denom
                 )
                 new_p = jnp.clip(p32, -scalar_max, scalar_max) + delta
-                return (new_p - p32).astype(p.dtype), delta, eas, prms, seas, sgrads
+                return (
+                    (new_p - p32).astype(p.dtype), delta, eas, prms, seas,
+                    sgrads,
+                )
+
+            batched = kind == "batched"
+            red = _red_axes(p, kind)
 
             # record scale grad for this step (ref :545-548)
-            sgrads = sgrads.at[step % sup].set(jnp.sum(p32 * g32))
+            sg = jnp.sum(p32 * g32, axis=red, keepdims=batched)
+            sgrads = sgrads.at[step % sup].set(sg)
 
             at_rms_step = (step % sup) == (sup - 1)
-            new_rms = jnp.sqrt(jnp.mean(p32**2))
+            new_rms = jnp.sqrt(jnp.mean(p32**2, axis=red, keepdims=batched))
             prms_new = jnp.where(at_rms_step, new_rms, prms)
 
-            # size (log-scale) update (ref :538-596)
+            # size (log-scale) update (ref :538-596); for batched leaves
+            # every statistic is per dim-0 slice, matching the reference's
+            # per-tensor state inside its stacked batches
             beta2c = beta2**sup
-            seas_upd = beta2c * seas + (1 - beta2c) * jnp.mean(sgrads**2)
+            seas_upd = beta2c * seas + (1 - beta2c) * jnp.mean(sgrads**2, axis=0)
             size_step = (step + 1) // sup
             bc2 = 1 - beta2c ** size_step.astype(jnp.float32)
             denom_s = jnp.sqrt(seas_upd) + eps
             size_lr = lr * scalar_lr_scale
-            scale_step = -size_lr * jnp.sqrt(bc2) * jnp.sum(sgrads) / denom_s
+            scale_step = (
+                -size_lr * jnp.sqrt(bc2) * jnp.sum(sgrads, axis=0) / denom_s
+            )
             scale_step = jnp.where(prms_new < param_min_rms, 0.0, scale_step)
             scale_step = jnp.where(
                 prms_new > param_max_rms, -size_lr * sup, scale_step
@@ -180,7 +297,7 @@ def scaled_adam(
             delta = delta + (g32 / denom) * alpha
             return delta.astype(p.dtype), delta, eas, prms_new, seas_new, sgrads
 
-        out = jax.tree.map(
+        out = jax.tree_util.tree_map_with_path(
             tensor_update,
             params,
             grads,

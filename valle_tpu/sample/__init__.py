@@ -401,12 +401,21 @@ def continual(
 ) -> Dict[str, jnp.ndarray]:
     """Continual task (ref valle.py:1139-1238): keep codebook 1 of the given
     codes; use the first min(T/2, 3 s) as the acoustic prompt and re-generate
-    codebooks 2..8 for the remainder with the NAR decoder (greedy)."""
+    codebooks 2..8 for the remainder with the NAR decoder (greedy).
+
+    The prefix split is PER SEQUENCE: min(y_lens[b] // 2, 225) from each
+    row's true length (the reference is batch-1 and unpadded, so its
+    ``y.shape[1]`` at ref valle.py:1173 IS the true length; a batched port
+    must not substitute the padded width, or a short row's prompt would
+    swallow more than half of its own audio).  Each returned row is
+    left-shifted so its regenerated region starts at index 0;
+    ``lengths[b] = y_lens[b] - prefix_len[b]``."""
     cfg = model.cfg
     b, t, q = y.shape
     if y_lens is None:
         y_lens = jnp.full((b,), t, jnp.int32)
-    prefix_len = min(int(t * 0.5), 3 * 75)  # static (ref valle.py:1173)
+    # per-sequence prefix from the TRUE length (ref valle.py:1173)
+    plen = jnp.minimum(y_lens // 2, 3 * 75).astype(jnp.int32)  # (B,)
 
     s = x.shape[1]
     x_mask = mask_ops.make_pad_mask(x_lens, s)
@@ -419,14 +428,14 @@ def continual(
     nar_mem_bias = mask_ops.mask_to_bias(x_mask[:, None, None, :], jnp.float32)
     if is_vallf:
         bias = mask_ops.mask_to_bias(y_mask[:, None, None, :], jnp.float32)
-        gen_start = prefix_len
+        gen_start = 0
     else:
         key_pad = jnp.concatenate([x_mask, y_mask], axis=1)
         bias = mask_ops.mask_to_bias(key_pad[:, None, None, :], jnp.float32)
-        gen_start = s + prefix_len
+        gen_start = s
 
     positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
-    prefix_sel = (jnp.arange(t) < prefix_len)[None, :, None]
+    prefix_sel = (jnp.arange(t)[None, :] < plen[:, None])[..., None]
 
     def add_prompt(i):
         emb = model.apply(
@@ -440,8 +449,20 @@ def continual(
             acc = acc + add_prompt(j)
         y_emb = acc
 
-    codes = [jnp.where(jnp.arange(t)[None, prefix_len:] < y_lens[:, None], y0[:, prefix_len:], 0)]
-    gen_sel = (jnp.arange(t) >= prefix_len)[None, :, None]
+    lengths = jnp.maximum(y_lens - plen, 0)
+    # per-row left shift: output index j <- input position plen_b + j
+    shift_idx = jnp.minimum(
+        jnp.arange(t)[None, :] + plen[:, None], t - 1
+    )
+    out_valid = jnp.arange(t)[None, :] < lengths[:, None]
+
+    def out_row(vals):  # (B, t) predictions at audio positions -> shifted
+        return jnp.where(
+            out_valid, jnp.take_along_axis(vals, shift_idx, axis=1), 0
+        )
+
+    codes = [out_row(y0)]
+    gen_sel = (jnp.arange(t)[None, :] >= plen[:, None])[..., None]
     for i in range(q - 1):
         samples = model.apply(
             variables,
@@ -454,18 +475,15 @@ def continual(
             nar_mem_bias,
             method="nar_forward_stage",
         )
-        codes.append(samples)
+        codes.append(out_row(samples))
         if i < q - 2:
             if cfg.prefix_mode == 0:
                 y_emb = y_emb + add_prompt(i)
             gen_emb = model.apply(
-                variables,
-                i,
-                jnp.pad(samples, ((0, 0), (prefix_len, 0))),
-                method="nar_embed_rest",
+                variables, i, samples, method="nar_embed_rest"
             )
             y_emb = y_emb + gen_emb * gen_sel
     return {
         "codes": jnp.stack(codes, axis=-1),
-        "lengths": jnp.maximum(y_lens - prefix_len, 0),
+        "lengths": lengths,
     }
