@@ -1,43 +1,39 @@
 """Ragged decode attention: per-slot length-clipped KV-cache reads.
 
-The decode phase is KV-READ-bound (docs/perf_notes.md "Decode-attention
-roofline probe": XLA's dense single-query attention runs at ~85% of the HBM
-roofline).  But the DENSE read cannot skip columns: every slot reads the
-full allocated cache width even when
+**Status: exact-parity machinery; a MEASURED NEGATIVE RESULT for speed on
+v5e — keep ``ragged_decode=False`` (the default) for serving.**  See
+docs/perf_notes.md "Round 5: ragged decode kernel" for the full
+measurement chain; summary of why the premise fails on this toolchain:
 
-  - the slot already FINISHED (bucket serving: early-stopped sequences pay
-    full-width reads until the whole batch drains — the measured 1.55x
-    step overhead on the gen_mix distribution), or
-  - the slot's own live region is shorter than the capacity (continuous
-    batching with per-slot write columns).
+  1. The hoped-for lever was skipping dead columns: finished slots and
+     short per-slot live regions on mixed-length traffic (~0.65x the reads
+     on the gen_mix distribution, projected 15-18% end-to-end in round 4).
+  2. The Pallas *pipelined* form (this file) cannot skip the HBM fetches:
+     clamping dead blocks' index maps to a repeated index does NOT elide
+     the copy in this jax/Mosaic version — a trivial-body kernel with the
+     same specs costs the full-width read (measured 0.43-0.49 ms vs dense
+     0.438 ms per layer at L12/B128/C896 int8).  On top of that, the
+     per-slot single-query contraction is a matvec: the MXU runs its
+     (BC, H*Dh) x (H*Dh, H) block-diagonal dots at ~8% utilization
+     (N=16 of 128 output lanes), measured 2.4x dense overall.
+  3. The manual-DMA form (double-buffered ``make_async_copy`` with a
+     per-slot dynamic trip count, probed separately) DOES scale reads with
+     lengths — but its streaming ceiling measured 437-478 GB/s across
+     block sizes 224-896 and buffer depths 2-4, i.e. the SAME rate XLA's
+     dense fused read achieves (505 GB/s equiv).  With compute on top it
+     breaks even only below ~0.8 average live fraction and loses at full
+     length; on gen_mix the projected end-to-end delta is within run
+     noise, so the dense path stays the serving default.
 
-This kernel reads, per batch slot ``b``, only KV columns ``[0, lengths[b])``
-— block by block, with the Pallas pipeline's revisited-block elision
-skipping the HBM fetch entirely for blocks past the slot's length (the
-index map clamps dead blocks to the last live block, and consecutive equal
-block indices are not re-copied).  A finished slot with ``lengths[b] == 0``
-reads (and computes) nothing.
-
+The kernel remains in-tree as the exact-parity slot the design would plug
+into if a future toolchain gains revisited-block elision or faster
+explicit DMA streaming: it computes, per batch slot ``b``, attention over
+KV columns ``[0, lengths[b])`` only (a finished slot with length 0
+computes nothing and yields zeros), with online softmax across column
+blocks and both int8 (per-token-head scales) and float cache variants.
 Replaces the reference's per-token full recompute
-(ref /root/reference/valle/models/valle.py:1012-1057) on the serving path;
-the dense XLA decode formulation stays available (``nn/attention.py``).
-
-Design notes (v5e):
-  - The contraction per block is MXU-shaped via a block-diagonal query
-    matrix: scores (BC, H) = K_blk (BC, H*Dh) @ Qmat (H*Dh, H) where
-    Qmat[i, h] = q[h, i - h*Dh] on the head-diagonal and 0 elsewhere.  At
-    BC=256 this is ~2 x 8.4 MFLOP per block vs a ~512 KB HBM read — the
-    MXU has ~7x headroom, so the kernel stays DMA-bound (the requirement
-    from docs/perf_notes.md: match the dense read's 85%-of-roofline on the
-    columns it does read).
-  - Online softmax across column blocks (flash-decoding style) with the
-    running (m, l, acc) in VMEM scratch; acc is accumulated as (H*Dh, H)
-    so no per-block transposes are needed, and the head-diagonal is
-    extracted once per slot at finalization with a selection matmul.
-  - int8 caches keep the per-(token, head) scales of
-    ``nn.attention.quantize_kv``: the K scale multiplies the logits, the
-    V scale multiplies the probs — identical factorization to the dense
-    int8 path, so outputs match it to fp tolerance.
+(ref /root/reference/valle/models/valle.py:1012-1057) semantically; the
+dense XLA decode formulation (``nn/attention.py``) is the measured winner.
 """
 
 from __future__ import annotations

@@ -145,9 +145,11 @@ def generate(
         ref valle.py:1068-1079).
       ragged_decode: route each decode step's cache read through the ragged
         Pallas kernel (ops/ragged_decode.py): finished slots read NOTHING
-        (length 0), live slots read exactly [0, tpre + t + 1).  On mixed-
-        length traffic this removes the early-exit read waste the dense
-        path pays until the whole batch drains.
+        (length 0), live slots read exactly [0, tpre + t + 1).  Exact
+        greedy parity with the dense path, but MEASURED SLOWER on v5e
+        (the Pallas pipeline cannot elide the dead blocks' fetches — see
+        the kernel's docstring / docs/perf_notes.md round 5); keep False
+        for serving.
 
     Returns {"codes": (B, max_new, Q) int32, "lengths": (B,) int32}.
     """
