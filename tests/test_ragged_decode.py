@@ -49,8 +49,10 @@ def test_kernel_parity(quantized, cap, block_c):
         q, k, v, lengths, bias, ks, vs, block_c=block_c, interpret=True
     )
     ref = ragged_decode_attention_reference(q, k, v, lengths, bias, ks, vs)
+    # the kernel's dots run in bf16 (MXU-native) by design; the dense
+    # reference is f32
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3
     )
 
 

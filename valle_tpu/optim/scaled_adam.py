@@ -68,6 +68,18 @@ def _path_strs(path) -> tuple:
     return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
+def _host_callbacks_supported() -> bool:
+    """The axon-tunneled TPU backend rejects host send/recv callbacks
+    (jax.debug.callback raises UNIMPLEMENTED at run time), which would turn
+    the dominant-parameter diagnostic into a training crash — detect it and
+    silently drop the log emission there."""
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        return True
+    return "axon" not in version
+
+
 def scaled_adam(
     learning_rate: float | optax.Schedule = 0.05,
     clipping_scale: Optional[float] = 2.0,
@@ -179,7 +191,7 @@ def scaled_adam(
         clip = jnp.where(step == 0, 1.0, clip)
         clip = clip.astype(jnp.float32)
 
-        if show_dominant_parameters:
+        if show_dominant_parameters and _host_callbacks_supported():
             # Parity with _show_gradient_dominating_parameter
             # (ref optim.py:390-478): when clipping engages severely
             # (factor < 0.1), log the parameter contributing the largest
