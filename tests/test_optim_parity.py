@@ -157,3 +157,60 @@ def test_dominant_parameter_diagnostic(caplog):
     msgs = [r.message for r in caplog.records if "Dominating" in r.message]
     assert msgs, "severe clipping must log the dominant parameter"
     assert "big" in msgs[0], msgs[0]
+
+
+@pytest.mark.parametrize("opt_name", ["scaled_adam", "eve"])
+def test_batched_axis_matches_separate_tensors(opt_name):
+    """A stacked (L, ...) leaf under batched_axis_fn must follow the exact
+    trajectory of L SEPARATE tensors (the reference's layout): per-slice
+    rms / size stats (ScaledAdam) and per-slice decay gates (Eve).  The
+    slices are scaled very differently so a shared statistic would diverge
+    immediately."""
+    from valle_tpu.optim import eve as eve_fn
+
+    rng = np.random.RandomState(3)
+    L, n, m = 3, 6, 4
+    # slice scales far apart: one tiny (below Eve target_rms / ScaledAdam
+    # min-rms region), one moderate, one large
+    base = rng.randn(L, n, m).astype(np.float32)
+    base *= np.array([0.01, 0.3, 3.0], np.float32)[:, None, None]
+    grads_seq = [
+        (rng.randn(L, n, m).astype(np.float32) * 0.1) for _ in range(9)
+    ]
+
+    def make(kind):
+        if opt_name == "scaled_adam":
+            return scaled_adam(
+                learning_rate=0.03, clipping_scale=None,
+                batched_axis_fn=(lambda path: True) if kind == "batched"
+                else None,
+            )
+        return eve_fn(
+            learning_rate=1e-2, weight_decay=0.1,
+            batched_axis_fn=(lambda path: True) if kind == "batched"
+            else None,
+        )
+
+    # batched: one stacked leaf
+    txb = make("batched")
+    pb = {"stack": jnp.asarray(base)}
+    sb = txb.init(pb)
+    for g in grads_seq:
+        up, sb = txb.update({"stack": jnp.asarray(g)}, sb, pb)
+        pb = jax.tree.map(lambda p, u: p + u, pb, up)
+
+    # separate: L independent leaves through the SAME transformation
+    txs = make("plain")
+    ps = {f"t{i}": jnp.asarray(base[i]) for i in range(L)}
+    ss = txs.init(ps)
+    for g in grads_seq:
+        up, ss = txs.update(
+            {f"t{i}": jnp.asarray(g[i]) for i in range(L)}, ss, ps
+        )
+        ps = jax.tree.map(lambda p, u: p + u, ps, up)
+
+    for i in range(L):
+        np.testing.assert_allclose(
+            np.asarray(pb["stack"][i]), np.asarray(ps[f"t{i}"]),
+            rtol=1e-5, atol=1e-6, err_msg=f"slice {i}",
+        )

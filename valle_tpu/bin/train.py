@@ -105,8 +105,11 @@ def make_optimizer(args):
             betas=(0.9, 0.95), batched_axis_fn=valle_batched_axis,
         ), None
     if name == "Eve":
+        from valle_tpu.optim import valle_batched_axis
+
         return eve(learning_rate=args.base_lr, betas=(0.9, 0.98),
-                   target_rms=0.1), None
+                   target_rms=0.1,
+                   batched_axis_fn=valle_batched_axis), None
     # plain Adam/AdamW via optax with grad-norm clip 1.0 (ref :687-692,961-975)
     if name == "AdamW":
         tx = optax.adamw(args.base_lr, b1=0.9, b2=0.95, weight_decay=1e-2)

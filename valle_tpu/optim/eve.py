@@ -3,11 +3,17 @@
 Parity: ref /root/reference/valle/modules/optim.py:836-985 — the weight decay
 multiplier ``(1 - weight_decay)`` is applied only while the parameter's norm
 exceeds ``target_rms * sqrt(numel)``, and only for non-scalar parameters.
+
+Like ScaledAdam (scaled_adam.py), the reference holds each layer's tensors
+separately while our ``nn.scan`` stacks them along dim 0 — so the decay gate
+must be evaluated PER SLICE of a stacked leaf, not once for the whole stack
+(``batched_axis_fn``, same predicate contract as scaled_adam; a 1-D batched
+leaf is a batch of scalars and is never decayed, ref :938).
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +32,10 @@ def eve(
     eps: float = 1e-8,
     weight_decay: float = 1e-3,
     target_rms: float = 0.1,
+    batched_axis_fn: Optional[Callable[[tuple], bool]] = None,
 ) -> optax.GradientTransformationExtraArgs:
+    from valle_tpu.optim.scaled_adam import _path_strs
+
     beta1, beta2 = betas
 
     def init_fn(params):
@@ -47,22 +56,37 @@ def eve(
         bc1 = 1 - beta1 ** step.astype(jnp.float32)
         bc2 = 1 - beta2 ** step.astype(jnp.float32)
 
-        def one(p, g, m, v):
+        def one(path, p, g, m, v):
+            batched = (
+                batched_axis_fn is not None
+                and batched_axis_fn(_path_strs(path))
+            )
             p32 = p.astype(jnp.float32)
             g32 = g.astype(jnp.float32)
             m = beta1 * m + (1 - beta1) * g32
             v = beta2 * v + (1 - beta2) * g32 * g32
             denom = jnp.sqrt(v) * (bc2**-0.5) + eps
             step_size = lr / bc1
-            if p.size > 1:
-                above = jnp.linalg.norm(p32) > (target_rms * (p.size**0.5))
+            scalar = p.size == 1 or (batched and p.ndim == 1)
+            if scalar:
+                new_p = p32
+            elif batched:
+                # per-slice gate: each dim-0 slice is a separate tensor in
+                # the reference (its own norm and numel)
+                red = tuple(range(1, p.ndim))
+                numel = p[0].size
+                norms = jnp.sqrt(jnp.sum(p32**2, axis=red, keepdims=True))
+                above = norms > (target_rms * (numel**0.5))
                 new_p = p32 * (1 - weight_decay * above.astype(jnp.float32))
             else:
-                new_p = p32
+                above = jnp.linalg.norm(p32) > (target_rms * (p.size**0.5))
+                new_p = p32 * (1 - weight_decay * above.astype(jnp.float32))
             new_p = new_p - step_size * m / denom
             return (new_p - p32).astype(p.dtype), m, v
 
-        out = jax.tree.map(one, params, grads, state.exp_avg, state.exp_avg_sq)
+        out = jax.tree_util.tree_map_with_path(
+            one, params, grads, state.exp_avg, state.exp_avg_sq
+        )
         treedef = jax.tree.structure(params)
         leaves = treedef.flatten_up_to(out)
         updates = treedef.unflatten([l[0] for l in leaves])
