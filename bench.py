@@ -23,6 +23,8 @@ Modes (for profiling; the driver runs plain `python bench.py`):
   python bench.py phase           # AR-only vs full vs B=256 decomposition
   python bench.py qsweep          # bf16 vs w8 vs w8a8 serving quantization
   python bench.py gen_mix         # realistic-length traffic scenarios
+  python bench.py ragged_ab       # ragged decode kernel A/B (negative)
+  python bench.py continuous      # continuous batching A/B (negative)
   python bench.py nar_phase       # NAR pass decomposition probe
   python bench.py attn_int8_probe # int8 attention probe (negative result)
   python bench.py tokenize        # EnCodec corpus-encode throughput
