@@ -77,6 +77,44 @@ def test_causal_mode_matches_xla():
     want = _xla_attention(q, k, v, dense_bias, 0.0, None, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
 
+    # gradients through the maximally-clipped windows (prefix_s=0 gives the
+    # full triangular clip: window 0 sees only its own 128 columns)
+    def loss_fused(args):
+        return jnp.sum(jnp.sin(fused_prefix_attention(
+            *args, kv_bias, prefix_s=0, block_q_fwd=128, block_q_bwd=128)))
+
+    def loss_ref(args):
+        return jnp.sum(jnp.sin(_xla_attention(*args, dense_bias, 0.0, None,
+                                              True)))
+
+    g1 = jax.grad(loss_fused)((q, k, v))
+    g2 = jax.grad(loss_ref)((q, k, v))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_window_count_invariance():
+    """Clipped multi-window runs must equal the single full-width window
+    bit-for-bit in the masked/visible pattern and numerically in f32."""
+    q, k, v, key_pad, s = _setup()
+    kv_bias = mask_ops.mask_to_bias(key_pad, jnp.float32)
+
+    def run(bq):
+        def loss(args):
+            return jnp.sum(jnp.cos(fused_prefix_attention(
+                *args, kv_bias, prefix_s=s,
+                block_q_fwd=bq, block_q_bwd=bq)))
+
+        out = fused_prefix_attention(q, k, v, kv_bias, prefix_s=s,
+                                     block_q_fwd=bq, block_q_bwd=bq)
+        return out, jax.grad(loss)((q, k, v))
+
+    out1, g1 = run(256)   # single window (padded Tq = 256)
+    out2, g2 = run(128)   # two windows, the first clipped to 128 cols
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
 
 def test_dense_mode_cross_attention_matches_xla():
     # key-padding-only mode with Tq != Tk (the NAR / cross-attention shape)

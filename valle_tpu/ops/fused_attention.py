@@ -12,17 +12,29 @@ XLA's own fusion).  This kernel removes both costs:
     computed IN-KERNEL from row/col iotas plus a per-sequence (B, Tk) key-
     validity bias row — no (B, H, T, T) mask/bias tensor ever exists;
   - dropout keep-bits are generated IN-REGISTER from the TPU hardware PRNG
-    (pltpu.prng_random_bits), seeded per (batch, head, q-block) so the
+    (pltpu.prng_random_bits), seeded per (batch, head, q-window) so the
     backward pass regenerates bit-identical masks instead of storing them;
-  - the backward recomputes probs flash-style from the forward's logsumexp,
-    so the O(T^2) probs are never saved — layer-level remat becomes
-    unnecessary for attention memory.
+  - the backward recomputes probs flash-style, so the O(T^2) probs are never
+    saved — layer-level remat becomes unnecessary for attention memory.
 
 Design: at VALL-E sequence lengths (T <= ~2k) a full key row fits easily in
-VMEM, so there is NO online-softmax block loop: grid (B, H, Tq/block_q), each
-cell computes exact softmax over the whole key axis in f32 and two MXU
-matmuls.  dK/dV are accumulated across the sequential q-block grid dimension
-in f32 VMEM scratch and written once at the last block.
+VMEM, so there is NO online-softmax block loop.  The q axis is split into
+WINDOWS at trace time, one monolithic pallas_call per window with grid
+(B, H): each cell computes exact softmax over that window's whole key range
+in f32 and two MXU matmuls.  The round-5 speedup: because ``prefix_s`` and
+the window geometry are static, each window's key range is STATICALLY
+clipped to its structural frontier — the rows of window i (rows
+[i*bq, (i+1)*bq)) can only see columns ``< max(prefix_s, (i+1)*bq)``, so
+K/V/bias are sliced at the XLA level before the call and early windows skip
+up to half the score/softmax/PV work with zero in-kernel overhead.  (An
+in-kernel chunked online-softmax walk was measured first and lost: both the
+dynamic fori_loop and a statically-unrolled pl.when variant cost more in
+per-chunk overhead than the clip saves — docs/perf_notes.md round 5.)
+Dense mode (``prefix_s=None``: key-padding only, the NAR / cross-attention
+path) is a single full-width window — identical work to the round-4 kernel.
+For the backward, dK/dV partial sums from each window are accumulated in f32
+at the XLA level (each window computes exact f32 dK/dV for its clipped key
+range) and cast once.
 
 This replaces the reference's fused C++/CUDA attention + torch dropout
 (ref valle/modules/activation.py:266-361, F.multi_head_attention_forward).
@@ -46,22 +58,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _tile_seed(seed_ref, b, h, qi, n_h, n_q):
-    """Distinct, reproducible PRNG seed per (batch, head, q-block) tile."""
-    idx = (b * n_h + h) * n_q + qi
+def _tile_seed(seed_ref, b, h, wi, n_h, n_w):
+    """Distinct, reproducible PRNG seed per (batch, head, q-window) tile."""
+    idx = (b * n_h + h) * n_w + wi
     # odd-constant multiply decorrelates nearby per-call base seeds (int32
     # wraparound is well-defined under XLA)
     return seed_ref[0] + idx * np.int32(-1640531527)  # 0x9E3779B9 as int32
 
 
-def _struct_bias(qi, bq, tk, prefix_s):
-    """Prefix-LM structural mask for this q-block: (bq, tk) f32 {0, _NEG}.
+def _struct_bias(row0, bq, tk, prefix_s):
+    """Prefix-LM structural mask for rows [row0, row0+bq): (bq, tk) f32.
 
     prefix_s = s: rows < s (text) see cols < s; rows >= s (audio) see cols < s
     plus cols <= row.  prefix_s = 0 degenerates to a pure causal mask (the
-    VALL-F audio decoder).
+    VALL-F audio decoder).  row0 is the window's static base row.
     """
-    row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
+    row = row0 + jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, tk), 1)
     # text rows (row < s) see exactly cols < s; audio rows additionally see
     # cols <= row — one boolean expression (Mosaic has no select-on-bools):
@@ -78,12 +90,30 @@ def _keep_mask(shape, rate):
     return bits >= thr  # P(keep) = 1 - rate
 
 
+def _windows(tq_p, tk_p, bq, prefix_s):
+    """Static (row0, width) per q-window.
+
+    Window i covers q rows [i*bq, (i+1)*bq); under the prefix-LM mask those
+    rows see exactly cols < max(prefix_s, (i+1)*bq), so its key range is
+    clipped to that frontier (128-aligned).  Dense mode sees everything.
+    """
+    out = []
+    for row0 in range(0, tq_p, bq):
+        if prefix_s is None:
+            w = tk_p
+        else:
+            w = min(tk_p, _round_up(max(prefix_s, row0 + bq), 128))
+        out.append((row0, w))
+    return out
+
+
 def _fwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-    *, scale, prefix_s, dropout_rate, n_h, n_q, bq,
+    *, scale, prefix_s, row0, dropout_rate, n_h, wi, n_w,
 ):
-    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b, h = pl.program_id(0), pl.program_id(1)
     tk = k_ref.shape[2]
+    bq = q_ref.shape[2]
     q = q_ref[0, 0]  # (bq, dh)
     k = k_ref[0, 0]  # (tk, dh)
     s = jax.lax.dot_general(
@@ -91,12 +121,12 @@ def _fwd_kernel(
     )
     s = s * scale + bias_ref[0]  # (1, tk) broadcasts over rows
     if prefix_s is not None:
-        s = s + _struct_bias(qi, bq, tk, prefix_s)
+        s = s + _struct_bias(row0, bq, tk, prefix_s)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(_tile_seed(seed_ref, b, h, qi, n_h, n_q))
+        pltpu.prng_seed(_tile_seed(seed_ref, b, h, wi, n_h, n_w))
         keep = _keep_mask(p.shape, dropout_rate)
         p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
     acc = jax.lax.dot_general(
@@ -108,46 +138,43 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, out_ref,
-    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-    *, scale, prefix_s, dropout_rate, n_h, n_q, bq,
+    dq_ref, dk_ref, dv_ref,
+    *, scale, prefix_s, row0, dropout_rate, n_h, wi, n_w,
 ):
-    b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b, h = pl.program_id(0), pl.program_id(1)
     tk = k_ref.shape[2]
-
-    @pl.when(qi == 0)
-    def _():
-        dk_acc[:] = jnp.zeros_like(dk_acc)
-        dv_acc[:] = jnp.zeros_like(dv_acc)
-
+    bq = q_ref.shape[2]
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)
-    # Recompute the exact forward softmax (single full-width block, so no
+    # Recompute the exact forward softmax (single full-width window, so no
     # online stats were needed); bit-identical to the forward pass.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     s = s * scale + bias_ref[0]
     if prefix_s is not None:
-        s = s + _struct_bias(qi, bq, tk, prefix_s)
+        s = s + _struct_bias(row0, bq, tk, prefix_s)
     m = jnp.max(s, axis=-1, keepdims=True)
     p_un = jnp.exp(s - m)
     p = p_un / jnp.sum(p_un, axis=-1, keepdims=True)  # normalized, (bq, tk)
 
     inv_kp = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
     if dropout_rate > 0.0:
-        pltpu.prng_seed(_tile_seed(seed_ref, b, h, qi, n_h, n_q))
+        pltpu.prng_seed(_tile_seed(seed_ref, b, h, wi, n_h, n_w))
         keep = _keep_mask(p.shape, dropout_rate)
         pd = jnp.where(keep, p * inv_kp, 0.0)
     else:
         pd = p
 
-    # dV += Pd^T dO
-    dv_acc[:] += jax.lax.dot_general(
+    # dV = Pd^T dO  (per-window partial; windows are summed at the XLA level
+    # — one extra model-dtype rounding vs a cross-window f32 accumulator,
+    # which measured ~1.8 ms/micro-batch of avoidable f32 HBM traffic)
+    dv_ref[0, 0] = jax.lax.dot_general(
         pd.astype(q.dtype), do.astype(q.dtype),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
+    ).astype(dv_ref.dtype)
     # dPd = dO V^T ; dP = mask * dPd / keep_prob
     dpd = jax.lax.dot_general(
         do.astype(q.dtype), v, (((1,), (1,)), ((), ())),
@@ -167,85 +194,100 @@ def _bwd_kernel(
         )
         * scale
     ).astype(dq_ref.dtype)
-    dk_acc[:] += (
+    dk_ref[0, 0] = (
         jax.lax.dot_general(
             ds_lo, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         * scale
-    )
-
-    @pl.when(qi == n_q - 1)
-    def _():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+    ).astype(dk_ref.dtype)
 
 
 def _specs(bq, tk, dh):
-    """Grid/block specs: padded layouts q (B,H,Tq,Dh) blocked by q-rows; k/v
-    full per (b,h); bias one (1, Tk) row per batch element."""
+    """Block specs for one window call, grid (B, H): q rows and k/v/bias key
+    range are pre-sliced at the XLA level, so every cell sees whole blocks."""
     # index maps receive the scalar-prefetch refs as trailing args (*_)
-    q_spec = pl.BlockSpec((1, 1, bq, dh), lambda b_, h_, qi, *_: (b_, h_, qi, 0))
-    kv_spec = pl.BlockSpec((1, 1, tk, dh), lambda b_, h_, qi, *_: (b_, h_, 0, 0))
-    bias_spec = pl.BlockSpec((1, 1, tk), lambda b_, h_, qi, *_: (b_, 0, 0))
+    q_spec = pl.BlockSpec((1, 1, bq, dh), lambda b_, h_, *_: (b_, h_, 0, 0))
+    kv_spec = pl.BlockSpec((1, 1, tk, dh), lambda b_, h_, *_: (b_, h_, 0, 0))
+    bias_spec = pl.BlockSpec((1, 1, tk), lambda b_, h_, *_: (b_, 0, 0))
     return q_spec, kv_spec, bias_spec
 
 
 def _pallas_fwd(q, k, v, bias_rows, seed, prefix_s, dropout_rate, interpret,
                 bq=None):
     b, n_h, tq_p, dh = q.shape
-    tk = k.shape[2]
+    tk_p = k.shape[2]
     bq = min(tq_p, bq or 128)
-    n_q = tq_p // bq
-    q_spec, kv_spec, bias_spec = _specs(bq, tk, dh)
-    kern = functools.partial(
-        _fwd_kernel, scale=1.0 / (dh**0.5), prefix_s=prefix_s,
-        dropout_rate=dropout_rate, n_h=n_h, n_q=n_q, bq=bq,
-    )
-    return pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, n_h, n_q),
-            in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
-            out_specs=q_spec,
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        interpret=interpret,
-    )(seed, q, k, v, bias_rows)
+    wins = _windows(tq_p, tk_p, bq, prefix_s)
+    outs = []
+    for wi, (row0, w) in enumerate(wins):
+        q_w = jax.lax.slice_in_dim(q, row0, row0 + bq, axis=2)
+        k_w = jax.lax.slice_in_dim(k, 0, w, axis=2)
+        v_w = jax.lax.slice_in_dim(v, 0, w, axis=2)
+        bias_w = jax.lax.slice_in_dim(bias_rows, 0, w, axis=2)
+        q_spec, kv_spec, bias_spec = _specs(bq, w, dh)
+        kern = functools.partial(
+            _fwd_kernel, scale=1.0 / (dh**0.5), prefix_s=prefix_s, row0=row0,
+            dropout_rate=dropout_rate, n_h=n_h, wi=wi, n_w=len(wins),
+        )
+        outs.append(pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, n_h),
+                in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
+                out_specs=q_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, n_h, bq, dh), q.dtype),
+            interpret=interpret,
+        )(seed, q_w, k_w, v_w, bias_w))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
 
 
 def _pallas_bwd(q, k, v, bias_rows, seed, out, do, prefix_s, dropout_rate,
                 interpret, bq=None):
     b, n_h, tq_p, dh = q.shape
-    tk = k.shape[2]
+    tk_p = k.shape[2]
     bq = min(tq_p, bq or 128)
-    n_q = tq_p // bq
-    q_spec, kv_spec, bias_spec = _specs(bq, tk, dh)
-    kern = functools.partial(
-        _bwd_kernel, scale=1.0 / (dh**0.5), prefix_s=prefix_s,
-        dropout_rate=dropout_rate, n_h=n_h, n_q=n_q, bq=bq,
-    )
-    dq, dk, dv = pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, n_h, n_q),
-            in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec, q_spec],
-            out_specs=[q_spec, kv_spec, kv_spec],
-            scratch_shapes=[
-                pltpu.VMEM((tk, dh), jnp.float32),
-                pltpu.VMEM((tk, dh), jnp.float32),
+    wins = _windows(tq_p, tk_p, bq, prefix_s)
+    dqs = []
+    dk_sum = None
+    dv_sum = None
+    for wi, (row0, w) in enumerate(wins):
+        q_w = jax.lax.slice_in_dim(q, row0, row0 + bq, axis=2)
+        o_w = jax.lax.slice_in_dim(out, row0, row0 + bq, axis=2)
+        do_w = jax.lax.slice_in_dim(do, row0, row0 + bq, axis=2)
+        k_w = jax.lax.slice_in_dim(k, 0, w, axis=2)
+        v_w = jax.lax.slice_in_dim(v, 0, w, axis=2)
+        bias_w = jax.lax.slice_in_dim(bias_rows, 0, w, axis=2)
+        q_spec, kv_spec, bias_spec = _specs(bq, w, dh)
+        kern = functools.partial(
+            _bwd_kernel, scale=1.0 / (dh**0.5), prefix_s=prefix_s, row0=row0,
+            dropout_rate=dropout_rate, n_h=n_h, wi=wi, n_w=len(wins),
+        )
+        dq_w, dk_w, dv_w = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, n_h),
+                in_specs=[q_spec, kv_spec, kv_spec, bias_spec, q_spec, q_spec],
+                out_specs=[q_spec, kv_spec, kv_spec],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n_h, bq, dh), q.dtype),
+                jax.ShapeDtypeStruct((b, n_h, w, dh), k.dtype),
+                jax.ShapeDtypeStruct((b, n_h, w, dh), v.dtype),
             ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ],
-        interpret=interpret,
-    )(seed, q, k, v, bias_rows, do, out)
-    return dq, dk, dv
+            interpret=interpret,
+        )(seed, q_w, k_w, v_w, bias_w, do_w, o_w)
+        dqs.append(dq_w)
+        pad = [(0, 0)] * 2 + [(0, tk_p - w), (0, 0)]
+        dk_w = jnp.pad(dk_w, pad) if w != tk_p else dk_w
+        dv_w = jnp.pad(dv_w, pad) if w != tk_p else dv_w
+        dk_sum = dk_w if dk_sum is None else dk_sum + dk_w
+        dv_sum = dv_w if dv_sum is None else dv_sum + dv_w
+    dq = dqs[0] if len(dqs) == 1 else jnp.concatenate(dqs, axis=2)
+    return dq, dk_sum, dv_sum
 
 
 # ---------------------------------------------------------------------------
@@ -412,11 +454,15 @@ def fused_prefix_attention(
       the bitstream itself intentionally differs).
     interpret: force Pallas interpret mode (defaults to True off-TPU so the
       same code path runs under the CPU test mesh).
-    block_q_fwd / block_q_bwd: q-rows per grid cell (must divide the
-      128-padded Tq).  Default: the largest divisor <= 512 (fwd) / 256 (bwd)
-      — big blocks amortize per-cell grid overhead, which dominates at
-      dh=64 (round-4 sweep, docs/perf_notes.md); the bwd holds ~6 live
-      (bq, Tk) f32 temporaries so its cap is lower (VMEM ~16 MB).
+    block_q_fwd / block_q_bwd: q-rows per window (must divide the 128-padded
+      Tq).  In prefix/causal mode each window's key range is statically
+      clipped to ``max(prefix_s, window_end)``, so mid-size windows both
+      amortize per-call overhead and skip masked-out key columns (round-5
+      sweep, docs/perf_notes.md): default 448-capped divisor for the fwd and
+      bwd.  Dense mode keeps the round-4 defaults (largest divisor <= 896
+      fwd / 448 bwd — only per-call overhead matters when nothing can be
+      clipped; the bwd holds ~6 live (bq, Tk) f32 temporaries so its VMEM
+      cap is lower).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -444,11 +490,17 @@ def fused_prefix_attention(
                 best = cand
         return best
 
-    bq_fwd = block_q_fwd or auto_bq(830_000)
-    bq_bwd = block_q_bwd or auto_bq(460_000)
+    if prefix_s is not None:
+        # clipped-window mode: mid-size windows so early windows can skip
+        # masked key columns (the VMEM caps stay as a guard for long Tk)
+        bq_fwd = block_q_fwd or min(auto_bq(830_000), auto_bq(448 * tk_p))
+        bq_bwd = block_q_bwd or min(auto_bq(460_000), auto_bq(448 * tk_p))
+    else:
+        bq_fwd = block_q_fwd or auto_bq(830_000)
+        bq_bwd = block_q_bwd or auto_bq(460_000)
     if dropout_rate > 0.0 and dropout_rng is not None:
-        # keep-bits are seeded per (batch, head, q-block) TILE: the backward
-        # regenerates them, so fwd and bwd must tile q identically or the
+        # keep-bits are seeded per (batch, head, q-window) TILE: the backward
+        # regenerates them, so fwd and bwd must window q identically or the
         # masks diverge and the gradients are silently wrong.  Auto-picked
         # blocks are reconciled to the min; only reject configs where the
         # caller explicitly pinned BOTH blocks to different values.
