@@ -18,8 +18,16 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 _REPO = Path(__file__).resolve().parents[2]
-_LIB_PATH = _REPO / "native" / "lib" / "libvalle_data.so"
-_SRC = _REPO / "native" / "loader" / "valle_loader.cc"
+_PKG_NATIVE = Path(__file__).resolve().parent / "_native"
+if (_REPO / "native" / "loader" / "valle_loader.cc").exists():
+    # repo checkout: build from native/ into native/lib/
+    _LIB_PATH = _REPO / "native" / "lib" / "libvalle_data.so"
+    _SRC = _REPO / "native" / "loader" / "valle_loader.cc"
+else:
+    # installed wheel: setup.py ships source (and usually a prebuilt .so)
+    # as package data under valle_tpu/data/_native/
+    _LIB_PATH = _PKG_NATIVE / "libvalle_data.so"
+    _SRC = _PKG_NATIVE / "valle_loader.cc"
 _lib = None
 _lib_failed = False
 
@@ -28,6 +36,10 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
+    if not _SRC.exists() and not _LIB_PATH.exists():
+        logging.info("native loader source not found; numpy fallback")
+        _lib_failed = True
+        return None
     if not _LIB_PATH.exists() or (
         _SRC.exists() and _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
     ):
