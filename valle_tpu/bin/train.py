@@ -61,6 +61,13 @@ def get_parser():
     parser.add_argument("--save-every-n", type=int, default=10000)
     parser.add_argument("--keep-last-k", type=int, default=20)
     parser.add_argument("--average-period", type=int, default=0)
+    parser.add_argument(
+        "--init-checkpoint", type=str, default="",
+        help="warm-start the model weights (optimizer/scheduler fresh) from "
+        "a checkpoint before training: a reference PyTorch .pt (converted "
+        "via utils/convert_reference — the torch->TPU migration path), an "
+        ".npz params dump, or an orbax dir from our trainer.  Ignored when "
+        "the exp dir already holds a checkpoint to resume from.")
     parser.add_argument("--seed", type=int, default=42)
     # multi-host launch (the TPU-native equivalent of the reference's
     # --world-size/--master-port DDP spawn, ref trainer.py:95-100,1152):
@@ -243,6 +250,38 @@ def run(args):
     ckpt = CheckpointManager(args.exp_dir / "checkpoints", args.keep_last_k)
     meta: dict = {}
     latest = ckpt.latest()
+    if args.init_checkpoint and latest is None:
+        # weights-only warm start (e.g. migrating a reference-trained .pt);
+        # optimizer/scheduler state stays fresh, like a stage switch
+        from valle_tpu.bin.infer import load_model_params
+
+        variant = (
+            "vallf" if cfg.model_name.lower() in ("vall-f", "vallf")
+            else "valle"
+        )
+        loaded = load_model_params(args.init_checkpoint, cfg, variant)
+        # tree_map validates the structures match; keep the initialized
+        # dtypes (the train step's param dtype policy, not the file's)
+        params = jax.tree.map(
+            lambda cur, new: jnp.asarray(new, cur.dtype),
+            state.params,
+            jax.tree.map(jnp.asarray, loaded),
+        )
+        # re-init the optimizer from the LOADED weights: ScaledAdam's state
+        # carries param_rms of the params it was initialized with
+        from valle_tpu.train.state import partition_params
+
+        train_params, _ = partition_params(params, args.train_stage)
+        state = state.replace(
+            params=params,
+            opt_state=tx.init(train_params),
+            model_avg=(
+                jax.tree.map(jnp.array, params)
+                if state.model_avg is not None
+                else None
+            ),
+        )
+        logging.info(f"warm-started weights from {args.init_checkpoint}")
     if latest is not None:
         prev_stage = None
         meta_path = ckpt.dir / f"{latest}.meta.json"

@@ -61,6 +61,17 @@ class CheckpointManager:
     ) -> Tuple[TrainState, Dict]:
         path = (self.dir / name).absolute()
         state = self._ckpt.restore(path, template)
+        # Orbax commits the restored leaves to the template's devices
+        # (typically device 0).  The train step's batches are sharded over
+        # the run's mesh, and jit rejects mixing committed single-device
+        # arrays with mesh-sharded ones.  Convert to host numpy: the
+        # leaves become uncommitted and the first jitted step places them
+        # under whatever mesh THIS run uses — resume is topology-
+        # independent (same fix as bin/infer.load_model_params; caught by
+        # tests/test_init_checkpoint.py resuming on an 8-device mesh).
+        import numpy as np
+
+        state = jax.tree.map(np.asarray, state)
         meta_file = self.dir / f"{name}.meta.json"
         meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
         return state, meta
