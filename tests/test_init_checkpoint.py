@@ -120,3 +120,31 @@ def _flatten(tree, prefix=""):
         else:
             out[key] = v
     return out
+
+
+def test_pt_use_averaged_model(tmp_path):
+    """infer/serve consume the reference checkpoint's model_avg with
+    --use-averaged-model (icefall stores it under "model_avg")."""
+    import torch
+
+    from tests.ref_utils import make_ref
+    from valle_tpu.bin.infer import load_model_params
+    from valle_tpu.models import ModelConfig
+    from valle_tpu.utils.convert_reference import convert_state_dict
+
+    ref = make_ref("valle", 0, d=64, nhead=4, layers=2, q=8, seed=0)
+    avg = make_ref("valle", 0, d=64, nhead=4, layers=2, q=8, seed=1)
+    pt = tmp_path / "ckpt.pt"
+    torch.save({"model": ref.state_dict(), "model_avg": avg.state_dict()}, pt)
+
+    cfg = ModelConfig(decoder_dim=64, nhead=4, num_layers=2,
+                      num_quantizers=8, prefix_mode=0)
+    sd_avg = {k: v.detach().numpy() for k, v in avg.state_dict().items()}
+    expected = _flatten(convert_state_dict(sd_avg, cfg, "valle"))
+    got = _flatten(load_model_params(str(pt), cfg, "valle",
+                                     use_averaged=True))
+    assert expected.keys() == got.keys()
+    for k in expected:
+        np.testing.assert_array_equal(np.asarray(got[k], np.float32),
+                                      np.asarray(expected[k], np.float32),
+                                      err_msg=k)

@@ -85,9 +85,17 @@ def load_model_params(path: str, cfg, variant: str, use_averaged=False):
 
         from valle_tpu.utils.convert_reference import convert_state_dict
 
-        assert not use_averaged, ".pt checkpoints carry no averaged model"
         sd = torch.load(p, map_location="cpu", weights_only=False)
-        if "model" in sd:
+        if use_averaged:
+            # icefall's save_checkpoint stores the running average under
+            # "model_avg" (ref valle/bin/trainer.py:334-378 via
+            # icefall.checkpoint.save_checkpoint)
+            sd = sd.get("model_avg")
+            assert sd is not None, (
+                f"{path} has no model_avg (reference run trained without "
+                "averaging)"
+            )
+        elif "model" in sd:
             sd = sd["model"]
         sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
         return jax.tree.map(jnp.asarray, convert_state_dict(sd, cfg, variant))
